@@ -1,0 +1,11 @@
+"""Test configuration: force an 8-device virtual CPU platform so multi-chip
+sharding semantics (dp/model meshes, psum grad reduction) are exercised
+without TPU hardware. Must run before jax is imported anywhere."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
