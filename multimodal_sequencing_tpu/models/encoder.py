@@ -1,0 +1,142 @@
+"""BERT/RoBERTa-compatible text encoder in Flax.
+
+TPU-native replacement for the reference's HF `AutoModel` text towers
+(`/root/reference/trainers/train.py:1970-1996`): same computation graph
+(learned word/position/type embeddings -> post-LN transformer blocks ->
+tanh pooler), bfloat16 activations, fused Pallas attention on TPU, optional
+per-layer rematerialization. `token_type_ids` carry the *step index* (the
+packing convention, SURVEY §2.6), so `type_vocab_size` is sized to
+`max_story_length` — the analogue of `--replace_token_type_embeddings`
+(`train.py:1976-1996`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .config import EncoderConfig
+from ..ops.attention import multihead_attention, NEG_INF
+
+
+class SelfAttention(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic: bool = True):
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        dense = lambda name: nn.Dense(cfg.hidden_size, dtype=dtype,
+                                      name=name)
+        q = dense("query")(hidden)
+        k = dense("key")(hidden)
+        v = dense("value")(hidden)
+        b, s, _ = q.shape
+        h, d = cfg.num_attention_heads, cfg.head_dim
+        split = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+        ctx = multihead_attention(
+            split(q), split(k), split(v), bias,
+            force_reference=not cfg.use_pallas_attention)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
+        out = nn.Dense(cfg.hidden_size, dtype=dtype, name="out")(ctx)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(
+            out, deterministic=deterministic)
+        return out
+
+
+class TransformerLayer(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, hidden, bias, deterministic: bool = True):
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        attn = SelfAttention(cfg, name="attention")(
+            hidden, bias, deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
+                              name="attention_ln")(hidden + attn)
+        mlp = nn.Dense(cfg.intermediate_size, dtype=dtype,
+                       name="intermediate")(hidden)
+        mlp = nn.gelu(mlp, approximate=False)
+        mlp = nn.Dense(cfg.hidden_size, dtype=dtype, name="output")(mlp)
+        mlp = nn.Dropout(cfg.hidden_dropout_prob)(
+            mlp, deterministic=deterministic)
+        hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
+                              name="output_ln")(hidden + mlp)
+        return hidden
+
+
+class Embeddings(nn.Module):
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids=None, position_ids=None,
+                 inputs_embeds=None, deterministic: bool = True):
+        cfg = self.cfg
+        dtype = cfg.compute_dtype
+        if inputs_embeds is None:
+            inputs_embeds = nn.Embed(
+                cfg.vocab_size, cfg.hidden_size, dtype=dtype,
+                name="word_embeddings")(input_ids)
+        s = inputs_embeds.shape[1]
+        if position_ids is None:
+            # RoBERTa-style: positions offset past the pad id.
+            position_ids = jnp.arange(s)[None, :] + cfg.position_offset
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       dtype=dtype, name="position_embeddings")(position_ids)
+        x = inputs_embeds + pos
+        if cfg.type_vocab_size > 0:
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros(
+                    inputs_embeds.shape[:2], jnp.int32)
+            token_type_ids = jnp.minimum(token_type_ids,
+                                         cfg.type_vocab_size - 1)
+            x = x + nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                             dtype=dtype, name="token_type_embeddings")(
+                                 token_type_ids)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
+                         name="ln")(x)
+        return nn.Dropout(cfg.hidden_dropout_prob)(
+            x, deterministic=deterministic)
+
+
+def attention_bias_from_mask(attention_mask: jax.Array,
+                             dtype=jnp.float32) -> jax.Array:
+    """(B, S) {0,1} mask -> (B, 1, 1->S, S) additive bias."""
+    bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32))
+    return (bias * NEG_INF).astype(dtype)
+
+
+class TextEncoder(nn.Module):
+    """Embeddings + N post-LN layers + pooler; returns
+    (sequence_output, pooled_output)."""
+    cfg: EncoderConfig
+
+    @nn.compact
+    def __call__(self, input_ids=None, attention_mask=None,
+                 token_type_ids=None, position_ids=None, inputs_embeds=None,
+                 deterministic: bool = True, with_pool: bool = True):
+        cfg = self.cfg
+        x = Embeddings(cfg, name="embeddings")(
+            input_ids, token_type_ids, position_ids, inputs_embeds,
+            deterministic)
+        if attention_mask is None:
+            ref = input_ids if input_ids is not None else x[..., 0]
+            attention_mask = jnp.ones(ref.shape[:2], jnp.int32)
+        bias = attention_bias_from_mask(attention_mask, cfg.compute_dtype)
+
+        layer_cls = TransformerLayer
+        if cfg.remat:
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
+        for i in range(cfg.num_hidden_layers):
+            x = layer_cls(cfg, name=f"layer_{i}")(x, bias, deterministic)
+
+        pooled = None
+        if with_pool:
+            pooled = nn.tanh(nn.Dense(cfg.hidden_size,
+                                      dtype=cfg.compute_dtype,
+                                      name="pooler")(x[:, 0]))
+        return x, pooled

@@ -1,0 +1,139 @@
+"""On-device batched order decoding.
+
+The reference decodes orders on the host with per-pair forward passes and
+recursive python beams (`trainers/eval.py:425-529`,
+`trainers/train_utils.py:112-332`) — O(N^2) device round-trips per story.
+Here stories are tiny (N <= 5), so ALL candidate orders can be scored
+on-device in one fused program: an exhaustive argmax over the n! <= 120
+permutations (exact, strictly stronger than the reference's beam) plus a
+greedy chain decoder for larger N. The host-side parity decoders in
+`utils/heatmap.py` remain the golden reference; the eval harness uses these
+device paths for throughput and falls back to host decode for
+method-faithful comparisons.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-8
+
+
+def all_permutations(n: int) -> np.ndarray:
+    """(n!, n) int32 permutation table in lexicographic order."""
+    return np.asarray(list(itertools.permutations(range(n))), dtype=np.int32)
+
+
+def pairs_to_heatmap(pair_scores: jax.Array, pair_idx: jax.Array,
+                     n: int) -> jax.Array:
+    """Scatter per-pair scores into (B, N, N) heatmaps.
+
+    pair_scores: (B, P) score for 'i precedes j' per ordered pair.
+    pair_idx: (P, 2) the (i, j) of each pair (shared across batch).
+    """
+    b = pair_scores.shape[0]
+    hm = jnp.zeros((b, n, n), pair_scores.dtype)
+    return hm.at[:, pair_idx[:, 0], pair_idx[:, 1]].set(pair_scores)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "mode"))
+def exhaustive_order_decode(heatmap: jax.Array, n: int,
+                            mode: str = "chain_logprob") -> jax.Array:
+    """Exact MAP order over all n! permutations. heatmap: (B, N, N) with
+    rows=parent, cols=child (N >= n; only the leading n x n block is used).
+
+    mode:
+      chain_logprob — sum_t log(hm[p_t, p_{t+1}]) (the reference beam's
+        objective, `train_utils.py:236-242`).
+      chain_sum     — sum_t hm[p_t, p_{t+1}] (the `_sum` variants).
+      allpairs      — sum_{i<j} log hm[p_i, p_j]: exact MAP linear order
+        under independent pairwise precedence probabilities (the decode the
+        reference's topological_inference approximates).
+    Returns (B, n) best order per batch element.
+    """
+    perms = jnp.asarray(all_permutations(n))  # (K, n)
+    hm = heatmap[:, :n, :n].astype(jnp.float32)
+    if mode in ("chain_logprob", "chain_sum"):
+        src = perms[:, :-1]  # (K, n-1)
+        dst = perms[:, 1:]
+        vals = hm[:, src, dst]  # (B, K, n-1)
+        if mode == "chain_logprob":
+            vals = jnp.log(vals + EPS)
+        scores = vals.sum(-1)
+    elif mode == "allpairs":
+        iu, ju = np.triu_indices(n, k=1)
+        src = perms[:, iu]  # (K, P)
+        dst = perms[:, ju]
+        scores = jnp.log(hm[:, src, dst] + EPS).sum(-1)
+    else:
+        raise ValueError(f"unknown decode mode {mode}")
+    best = jnp.argmax(scores, axis=-1)  # (B,)
+    return perms[best]
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def greedy_order_decode(heatmap: jax.Array, n: int) -> jax.Array:
+    """Greedy chain decode for large N: start from the row with the highest
+    total precedence mass (the most-likely-first step), then repeatedly take
+    the best unvisited successor. (B, n)."""
+    hm = heatmap[:, :n, :n].astype(jnp.float32)
+    b = hm.shape[0]
+    start = jnp.argmax(jnp.sum(hm, axis=-1), axis=-1)  # (B,)
+
+    def step(carry, _):
+        curr, visited, out, t = carry
+        row = hm[jnp.arange(b), curr]  # (B, n)
+        row = jnp.where(visited, -jnp.inf, row)
+        nxt = jnp.argmax(row, axis=-1)
+        visited = visited.at[jnp.arange(b), nxt].set(True)
+        out = out.at[:, t].set(nxt)
+        return (nxt, visited, out, t + 1), None
+
+    visited = jnp.zeros((b, n), bool).at[jnp.arange(b), start].set(True)
+    out = jnp.zeros((b, n), jnp.int32).at[:, 0].set(start)
+    (last, visited, out, _), _ = jax.lax.scan(
+        step, (start, visited, out, 1), None, length=n - 1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def topological_decode_batch(heatmap: jax.Array, n: int,
+                             thres: float = 0.2) -> jax.Array:
+    """Vectorized Kahn-style decode of the thresholded precedence graph
+    (device analogue of `train_utils.py:254-274`): repeatedly emit the
+    lowest-index vertex with no unvisited predecessor. On a clean total
+    order this recovers it exactly."""
+    hm = heatmap[:, :n, :n]
+    b = hm.shape[0]
+    # adj[i, j] = 1 if i precedes j: upper entries thresholded, lower entries
+    # get the reversed edge (reference builds j->i when below threshold).
+    iu = jnp.triu(jnp.ones((n, n), bool), k=1)
+    fwd = (hm > thres) & iu[None]
+    rev = (~(hm > thres)) & iu[None]
+    adj = fwd | jnp.transpose(rev, (0, 2, 1))
+
+    def step(carry, t):
+        adj_c, emitted, out = carry
+        # in-degree from non-emitted vertices
+        indeg = (adj_c & ~emitted[:, :, None]).sum(1)
+        ready = (indeg == 0) & ~emitted
+        # lowest index ready vertex (always exists for tournament graphs;
+        # break cycles by falling back to the lowest non-emitted vertex)
+        any_ready = ready.any(-1)
+        pick_ready = jnp.argmax(ready, axis=-1)
+        pick_any = jnp.argmax(~emitted, axis=-1)
+        pick = jnp.where(any_ready, pick_ready, pick_any)
+        emitted = emitted.at[jnp.arange(b), pick].set(True)
+        out = out.at[:, t].set(pick)
+        return (adj_c, emitted, out), None
+
+    emitted = jnp.zeros((b, n), bool)
+    out = jnp.zeros((b, n), jnp.int32)
+    (_, emitted, out), _ = jax.lax.scan(
+        step, (adj, emitted, out), jnp.arange(n))
+    return out
