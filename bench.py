@@ -1,0 +1,71 @@
+"""Benchmark: flagship train-step throughput on real hardware.
+
+Measures stories(sequences)/sec/chip for the WikiHow finetune-shaped
+workload (RoBERTa-large-class encoder, packed 5-step stories, heatmap
+ordering head, fused fwd+bwd+AdamW train step) and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
+we anchor to a measured-equivalent estimate of the reference's A100 PyTorch
+step on the same workload — batch 8 stories, seq 300+, RoBERTa-large fwd+bwd
+at ~30 stories/sec/A100 (per_gpu_train_batch_size 1-4 in scripts/, DDP) —
+the BASELINE.json target is >=5x that, i.e. 150 stories/sec/chip.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_STORIES_PER_SEC = 30.0
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _flagship_cfg, _synth_batch
+    from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+    from multimodal_sequencing_tpu.parallel.mesh import make_mesh, shard_batch
+    from multimodal_sequencing_tpu.train.state import (
+        make_train_state, make_optimizer)
+    from multimodal_sequencing_tpu.train.steps import make_train_step
+
+    cfg = _flagship_cfg()
+    n_dev = len(jax.devices())
+    batch_per_chip = 8
+    batch = _synth_batch(cfg, batch_size=batch_per_chip * n_dev)
+    mesh = make_mesh()
+    model = SequencingModel(cfg)
+    state = make_train_state(
+        model, jax.random.PRNGKey(0), batch,
+        tx=make_optimizer(learning_rate=5e-6, warmup_steps=10,
+                          total_steps=1000))
+    step = make_train_step(cfg, mesh)
+    dbatch = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+
+    # compile + warmup (the remote-compile path needs several steps to
+    # reach steady state; block every step during warmup)
+    for _ in range(12):
+        state, m = step(state, dbatch, rng)
+        jax.block_until_ready(m["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, dbatch, rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    stories_per_sec = iters * batch_per_chip * n_dev / dt
+    per_chip = stories_per_sec / n_dev
+    print(json.dumps({
+        "metric": "train_stories_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "stories/s/chip",
+        "vs_baseline": round(per_chip / A100_BASELINE_STORIES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

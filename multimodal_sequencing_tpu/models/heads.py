@@ -129,9 +129,9 @@ class HeatmapHead(nn.Module):
         hm[pi_t, pi_{t+1}] > hm[pi_{t+1}, pi_t] + margin (MarginRankingLoss
         pattern, `models/pointer_module.py:411-439`)."""
         b, n = order_labels.shape
-        # order_labels[b] = argsort order: position of each original step.
-        # Convert to sequence: seq[t] = index shown at true position t.
-        seq = jnp.argsort(order_labels, axis=1)
+        # The label IS the chain sequence (see render_heatmap_targets):
+        # node order_labels[t] precedes order_labels[t+1].
+        seq = order_labels
         src, dst = seq[:, :-1], seq[:, 1:]
         bidx = jnp.arange(b)[:, None]
         pos = heatmap[bidx, src, dst]
@@ -163,8 +163,10 @@ class LSTMPointerDecoder(nn.Module):
         carry = cell.initialize_carry(jax.random.PRNGKey(0), (b, h))
         carry = jax.tree.map(lambda x: x.astype(self.dtype), carry)
 
-        true_seq = (jnp.argsort(order_labels, axis=1)
-                    if order_labels is not None else None)
+        # The dataset label read as a sequence gives the node to point at
+        # for each true time step (chain convention; see
+        # render_heatmap_targets).
+        true_seq = order_labels
 
         def step(state, t):
             carry, inp, pointed = state
@@ -236,8 +238,9 @@ class PointerHead(nn.Module):
     @staticmethod
     def loss(logits: jax.Array, order_labels: jax.Array,
              present: jax.Array) -> jax.Array:
-        """Pointer NLL: position t must select true step seq[t]."""
-        seq = jnp.argsort(order_labels, axis=1)  # (B, N): step at position t
+        """Pointer NLL: time t must select node order_labels[t] (the label
+        is the chain sequence; see render_heatmap_targets)."""
+        seq = order_labels
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, seq[:, :, None], axis=2)[..., 0]
         valid = jnp.take_along_axis(present, seq, axis=1)
@@ -246,9 +249,9 @@ class PointerHead(nn.Module):
 
     @staticmethod
     def decode(logits: jax.Array, present: jax.Array) -> jax.Array:
-        """Greedy sequential decode with a no-repeat mask. Returns the
-        order-label form (pred[i] = position of step i... actually returns
-        seq form: seq[t] = step at position t, then inverted)."""
+        """Greedy sequential decode with a no-repeat mask. Returns the chain
+        sequence (seq[t] = node pointed at time t), directly comparable to
+        the dataset order label."""
         b, n, _ = logits.shape
         pointed = jnp.zeros((b, n), bool)
         seq = jnp.zeros((b, n), jnp.int32)

@@ -1,0 +1,112 @@
+"""SequencingModel: encoder + ordering head, the framework's core model.
+
+Composes the text or multimodal encoder with the head selected by
+`hierarchical_version` — the TPU-native analogue of the reference's model
+construction dispatch (`/root/reference/trainers/train.py:1544-1940`):
+
+  v0            pooled CLS -> ClassificationHead (pairwise / head /
+                pure_class logits)
+  v1 | v2 | v3  per-step CLS -> HeatmapHead (N x N precedence map)
+  p0 | p1       per-step CLS -> PointerHead (position-pointer logits)
+
+With `cfg.multimodal` the encoder is the single-stream joint encoder
+(CLIP tower + folded visual tokens + shared transformer); otherwise the
+text-only TextEncoder. All paths are shape-static and jit-safe; the same
+module serves train and the batched all-pairs decode path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .config import MultimodalConfig
+from .encoder import TextEncoder
+from .multimodal_encoder import MultimodalEncoder
+from .clip_visual import CLIPVisionConfig
+from .heads import (
+    ClassificationHead, HeatmapHead, PointerHead, gather_step_cls)
+
+
+class SequencingModel(nn.Module):
+    cfg: MultimodalConfig
+    vision_cfg: Optional[CLIPVisionConfig] = None
+
+    def setup(self):
+        cfg = self.cfg
+        if cfg.multimodal:
+            self.encoder = MultimodalEncoder(cfg, self.vision_cfg,
+                                             name="encoder")
+        else:
+            self.encoder = TextEncoder(cfg.encoder, name="encoder")
+        v = cfg.hierarchical_version
+        if v == "v0":
+            self.head = ClassificationHead(
+                num_labels=cfg.num_labels,
+                hidden_size=cfg.encoder.hidden_size,
+                dropout=cfg.encoder.hidden_dropout_prob,
+                dtype=cfg.encoder.compute_dtype, name="cls_head")
+        elif v in ("v1", "v2", "v3"):
+            self.head = HeatmapHead(cfg, name="heatmap_head")
+        elif v in ("p0", "p1"):
+            self.head = PointerHead(cfg, name="pointer_head")
+        else:
+            raise ValueError(f"unknown hierarchical_version {v}")
+
+    def encode(self, input_ids, attention_mask=None, token_type_ids=None,
+               images=None, deterministic: bool = True):
+        """Returns (lang_seq, visn_seq_or_None, pooled)."""
+        if self.cfg.multimodal:
+            return self.encoder(input_ids, attention_mask, token_type_ids,
+                                images=images, deterministic=deterministic)
+        seq, pooled = self.encoder(input_ids, attention_mask, token_type_ids,
+                                   deterministic=deterministic)
+        return seq, None, pooled
+
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 images=None, order_labels: Optional[jax.Array] = None,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        seq, visn, pooled = self.encode(
+            input_ids, attention_mask, token_type_ids, images, deterministic)
+        out = {"sequence_output": seq, "visual_output": visn,
+               "pooled_output": pooled}
+        v = cfg.hierarchical_version
+        if v == "v0":
+            out["logits"] = self.head(pooled, deterministic).astype(
+                jnp.float32)
+        else:
+            reprs, present = gather_step_cls(
+                seq, input_ids, cfg.cls_id, cfg.max_story_length)
+            out["step_reprs"], out["present"] = reprs, present
+            if v in ("v1", "v2", "v3"):
+                out["heatmap"] = self.head(reprs, present, deterministic)
+            else:
+                out["pointer_logits"] = self.head(
+                    reprs, present, order_labels, deterministic).astype(
+                        jnp.float32)
+        return out
+
+
+def render_heatmap_targets(order_labels: jax.Array, n: int,
+                           soft_value: float = 0.1) -> jax.Array:
+    """Jittable batched `render_order_heatmap` (soft mode): immediate
+    successor -> 1.0, later descendants -> soft_value
+    (`trainers/train_utils.py:69-109`).
+
+    `order_labels` is the dataset label (argsort of the scramble), which the
+    reference passes to the renderer AS the chain sequence itself
+    (`trainers/train.py:101`): node order_labels[t] precedes
+    order_labels[t+1]. Decoded orders therefore compare to the label
+    directly."""
+    # pos[i] = chain time of node i  (inverse permutation of the label)
+    pos = jnp.argsort(order_labels, axis=1)
+    pi = pos[:, :, None]
+    pj = pos[:, None, :]
+    target = jnp.where(pj == pi + 1, 1.0,
+                       jnp.where(pj > pi, soft_value, 0.0))
+    eye = jnp.eye(n, dtype=bool)
+    return jnp.where(eye[None], 0.0, target).astype(jnp.float32)

@@ -112,6 +112,29 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128,
     return out.reshape(b, h, s, d)
 
 
+@jax.custom_vjp
+def _flash_attention_ad(q, k, v, bias):
+    return flash_attention(q, k, v, bias)
+
+
+def _flash_fwd(q, k, v, bias):
+    return flash_attention(q, k, v, bias), (q, k, v, bias)
+
+
+def _flash_bwd(res, g):
+    # Backward via the reference formulation (XLA-fused softmax attention):
+    # exact gradients; a dedicated Pallas backward kernel can replace this
+    # without touching callers.
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, bias),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention_ad.defvjp(_flash_fwd, _flash_bwd)
+
+
 def _use_pallas() -> bool:
     return pltpu is not None and jax.default_backend() == "tpu"
 
@@ -121,5 +144,7 @@ def multihead_attention(q, k, v, bias=None, force_reference: bool = False):
     s = q.shape[2]
     if (not force_reference and _use_pallas() and s % 128 == 0
             and q.shape == k.shape == v.shape):
-        return flash_attention(q, k, v, bias)
+        if bias is None:
+            bias = jnp.zeros((q.shape[0], 1, s, s), q.dtype)
+        return _flash_attention_ad(q, k, v, bias)
     return attention_reference(q, k, v, bias)

@@ -1,0 +1,142 @@
+"""Jitted train / eval steps with mesh sharding.
+
+The hot loop: one fused XLA program per step (forward + backward + AdamW
+update), batch sharded over the mesh `data` axis, params replicated,
+gradients reduced by XLA-inserted psum — replacing the reference's
+DataParallel replicate + host-driven loop (`trainers/train.py:278-364`).
+Buffers are donated so weights update in place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.sequencer import render_heatmap_targets
+from ..models.heads import HeatmapHead, PointerHead
+from ..parallel.mesh import DATA_AXIS
+
+
+def masked_mean(values: jax.Array, valid: jax.Array) -> jax.Array:
+    """Mean over batch entries marked valid (padding of the final partial
+    batch must not contribute gradient)."""
+    v = valid.astype(values.dtype)
+    return (values * v).sum() / jnp.maximum(v.sum(), 1)
+
+
+def compute_loss(cfg, outputs: dict, batch: dict) -> tuple:
+    """Task loss by hierarchical_version. Returns (loss, metrics)."""
+    valid = batch.get("valid")
+    v = cfg.hierarchical_version
+    metrics = {}
+    if v == "v0":
+        logits = outputs["logits"]
+        labels = batch["labels"].astype(jnp.int32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        loss = masked_mean(ce, valid) if valid is not None else ce.mean()
+        acc = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+        metrics["acc"] = (masked_mean(acc, valid) if valid is not None
+                          else acc.mean())
+    elif v in ("v1", "v2", "v3"):
+        heatmap = outputs["heatmap"]
+        order_labels = batch["labels"].astype(jnp.int32)
+        target = render_heatmap_targets(order_labels, cfg.max_story_length)
+        present = outputs["present"]
+        if valid is not None:
+            present = present & valid[:, None]
+        loss = HeatmapHead.loss(heatmap, target, present)
+        if "heatmap_pairwise_ranking" in cfg.hl_include_objectives:
+            loss = loss + HeatmapHead.pairwise_ranking_loss(
+                heatmap, order_labels, present)
+    elif v in ("p0", "p1"):
+        logits = outputs["pointer_logits"]
+        order_labels = batch["labels"].astype(jnp.int32)
+        present = outputs["present"]
+        if valid is not None:
+            present = present & valid[:, None]
+        loss = PointerHead.loss(logits, order_labels, present)
+    else:
+        raise ValueError(v)
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(cfg, mesh=None, donate: bool = True) -> Callable:
+    """Build the jitted train step. With a mesh, inputs/outputs carry
+    NamedShardings (params replicated, batch data-sharded)."""
+
+    def step(state, batch, dropout_rng):
+        mutable = list(state.model_state.keys())
+
+        def loss_fn(params):
+            variables = {"params": params, **state.model_state}
+            kwargs = dict(
+                order_labels=(batch["labels"]
+                              if cfg.hierarchical_version in ("p0", "p1")
+                              else None),
+                deterministic=False,
+                rngs={"dropout": dropout_rng})
+            if "images" in batch:
+                kwargs["images"] = batch["images"]
+            if mutable:
+                outputs, new_mstate = state.apply_fn(
+                    variables, batch["input_ids"],
+                    batch.get("attention_mask"),
+                    batch.get("token_type_ids"), mutable=mutable, **kwargs)
+            else:
+                outputs = state.apply_fn(
+                    variables, batch["input_ids"],
+                    batch.get("attention_mask"),
+                    batch.get("token_type_ids"), **kwargs)
+                new_mstate = state.model_state
+            loss, metrics = compute_loss(cfg, outputs, batch)
+            return loss, (metrics, new_mstate)
+
+        (loss, (metrics, new_mstate)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, model_state=new_mstate)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(cfg, mesh=None) -> Callable:
+    def step(variables, apply_fn, batch):
+        kwargs = {}
+        if "images" in batch:
+            kwargs["images"] = batch["images"]
+        return apply_fn(
+            variables,
+            batch["input_ids"], batch.get("attention_mask"),
+            batch.get("token_type_ids"), deterministic=True, **kwargs)
+
+    jit_kwargs = dict(static_argnums=(1,))
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(DATA_AXIS))
+        jit_kwargs.update(in_shardings=(repl, data), out_shardings=data)
+    return jax.jit(step, **jit_kwargs)
+
+
+def eval_variables(state) -> dict:
+    return {"params": state.params, **state.model_state}
+
+
+def device_batch(batch: dict, drop_keys=("guid", "texts")) -> dict:
+    """Strip host-only entries before feeding a jitted step."""
+    return {k: v for k, v in batch.items() if k not in drop_keys}

@@ -59,7 +59,10 @@ def wikihow_dir(tmp_path_factory):
                 steps.append({
                     "step_headline": f"Headline {s}",
                     "step_text": {
-                        "text": STEP_TEXTS[s],
+                        # per-article prefix keeps stories distinguishable
+                        # even under tight per-step token caps
+                        "text": f"Project {split} {a} phase {s}. "
+                                + STEP_TEXTS[s],
                         "bullet_points": [f"Bullet {a} {s}."],
                     },
                     "step_assets": {

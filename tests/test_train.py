@@ -1,0 +1,118 @@
+"""End-to-end training-slice tests.
+
+The test box has a single CPU core, so functional tests run on a 1-device
+mesh; the 8-device virtual mesh (sharding semantics, psum insertion) gets a
+dedicated short test.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_sequencing_tpu.data import (
+    WikiHowGeneralProcessor, HeadPredDataset, PureClassDataset, data_loader)
+from multimodal_sequencing_tpu.models.config import (
+    EncoderConfig, MultimodalConfig)
+from multimodal_sequencing_tpu.models.sequencer import (
+    SequencingModel, render_heatmap_targets)
+from multimodal_sequencing_tpu.parallel.mesh import make_mesh, shard_batch
+from multimodal_sequencing_tpu.train.state import (
+    make_train_state, make_optimizer)
+from multimodal_sequencing_tpu.train.steps import (
+    make_train_step, make_eval_step, device_batch, eval_variables)
+from multimodal_sequencing_tpu.utils.heatmap import (
+    render_order_heatmap, heatmap2order)
+from multimodal_sequencing_tpu.utils.metrics import partial_match
+
+
+def _cfg(version="v0", **kw):
+    enc = EncoderConfig.tiny(max_position_embeddings=200)
+    return MultimodalConfig(encoder=enc, hierarchical_version=version,
+                            max_story_length=5, max_seq_length=96,
+                            per_seq_max_length=16, num_labels=5, **kw)
+
+
+def _setup(wikihow_dir, tokenizer, version, lr, total_steps, n_devices=1):
+    cfg = _cfg(version)
+    proc = WikiHowGeneralProcessor(data_dir=wikihow_dir)
+    examples = proc.get_train_examples()
+    if version == "v0":
+        ds = HeadPredDataset(examples, tokenizer, max_length=96,
+                             per_seq_max_length=16, seed=0)
+    else:
+        ds = PureClassDataset(examples, tokenizer, max_length=96,
+                              per_seq_max_length=16, seed=0, decode=True)
+    mesh = make_mesh(n_data=n_devices)
+    batch = next(data_loader(ds, batch_size=8))
+    dbatch = shard_batch(device_batch(batch), mesh)
+    model = SequencingModel(cfg)
+    state = make_train_state(
+        model, jax.random.PRNGKey(0), device_batch(batch),
+        tx=make_optimizer(learning_rate=lr, warmup_steps=2,
+                          total_steps=total_steps))
+    step = make_train_step(cfg, mesh)
+    return cfg, mesh, batch, dbatch, state, step
+
+
+def test_render_heatmap_targets_matches_host():
+    orders = np.asarray([[0, 1, 2, 3, 4], [2, 0, 4, 1, 3]])
+    dev = np.asarray(render_heatmap_targets(jnp.asarray(orders), 5))
+    for i, o in enumerate(orders):
+        # the label IS the chain sequence (reference train.py:101)
+        host = render_order_heatmap(list(o), soft=True)
+        np.testing.assert_allclose(dev[i], host, atol=1e-6)
+
+
+@pytest.mark.parametrize("version", ["v0", "v1", "p0", "p1"])
+def test_train_step_runs_and_descends(wikihow_dir, tokenizer, version):
+    cfg, mesh, batch, dbatch, state, step = _setup(
+        wikihow_dir, tokenizer, version, lr=1e-3, total_steps=50)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, dbatch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_train_step_8device_mesh(wikihow_dir, tokenizer):
+    """DP semantics on the 8-device virtual mesh: runs, stays finite, and
+    matches the 1-device loss trajectory (same global batch)."""
+    _, _, _, db1, st1, step1 = _setup(
+        wikihow_dir, tokenizer, "v0", lr=1e-3, total_steps=50, n_devices=1)
+    _, _, _, db8, st8, step8 = _setup(
+        wikihow_dir, tokenizer, "v0", lr=1e-3, total_steps=50, n_devices=8)
+    rng = jax.random.PRNGKey(1)
+    # disable dropout effects by comparing losses computed on the same
+    # params at step 0 (dropout rngs fold identically across meshes)
+    st1b, m1 = step1(st1, db1, rng)
+    st8b, m8 = step8(st8, db8, rng)
+    assert np.isfinite(float(m8["loss"]))
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-4)
+    _, m1c = step1(st1b, db1, rng)
+    _, m8c = step8(st8b, db8, rng)
+    np.testing.assert_allclose(float(m1c["loss"]), float(m8c["loss"]),
+                               rtol=3e-3)
+
+
+def test_heatmap_eval_decodes_after_overfit(wikihow_dir, tokenizer):
+    cfg, mesh, batch, dbatch, state, step = _setup(
+        wikihow_dir, tokenizer, "v1", lr=3e-3, total_steps=300)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(150):
+        state, metrics = step(state, dbatch, rng)
+    eval_step = make_eval_step(cfg, mesh)
+    out = eval_step(eval_variables(state), state.apply_fn, dbatch)
+    hm = np.asarray(out["heatmap"], np.float64)
+    labels = np.asarray(batch["labels"])
+    pm = np.mean([
+        partial_match(
+            heatmap2order(hm[b], decode_method="naive_v2_sum", beam_size=2),
+            labels[b].tolist())
+        for b in range(6)])
+    # overfit on 6 stories must beat the 0.2 positional chance rate solidly
+    # (tiny 2-layer encoder, 150 steps: typically lands ~0.45-0.55)
+    assert pm > 0.35, f"partial match {pm}"
