@@ -245,6 +245,22 @@ class RetrievalDataset(PretrainDataset):
     layout as PretrainDataset."""
 
 
+class BersonDataset(_StoryDatasetBase):
+    """BERSON pair-expanded stories: all N(N-1) packed pairs + relation
+    metadata (the data-layer home of the reference's in-forward
+    `prepare_berson_inputs`, `models/berson/process_inputs_for_berson.py`)."""
+
+    def __getitem__(self, idx, epoch: int = 0):
+        texts, img_paths, idx_seq = self._story(idx, epoch)
+        label = np.argsort(np.asarray(idx_seq)).astype(np.int32)
+        item = self.packer.pack_berson_story(
+            texts, label.tolist(), max_story_length=len(texts))
+        item["labels"] = label
+        item["guid"] = self.examples[idx].guid
+        item.update(self._images(img_paths, len(texts)))
+        return item
+
+
 def _decode_labels(ex, idx_seq, max_story_length):
     """Order label(s) for decode: argsort of the scramble, or the scrambled
     multiref list (`processors.py:660-674,824-837`)."""
@@ -266,7 +282,9 @@ def _decode_labels(ex, idx_seq, max_story_length):
 # ----- batching ---------------------------------------------------------------
 
 _ARRAY_KEYS = ("input_ids", "attention_mask", "token_type_ids", "labels",
-               "images", "img_regional_features")
+               "images", "img_regional_features", "sep_positions",
+               "pairs_list", "pairwise_labels", "ground_truth", "mask_cls",
+               "passage_length", "pairs_num")
 
 
 def collate(items: Sequence[Dict[str, Any]], pad_to: Optional[int] = None
@@ -282,8 +300,10 @@ def collate(items: Sequence[Dict[str, Any]], pad_to: Optional[int] = None
     batch: Dict[str, Any] = {"valid": valid}
     for key in padded[0]:
         vals = [it[key] for it in padded]
-        if key in _ARRAY_KEYS and isinstance(vals[0], np.ndarray) or (
-                key == "labels" and np.isscalar(vals[0])):
+        stackable = key in _ARRAY_KEYS and (
+            isinstance(vals[0], np.ndarray) or np.isscalar(vals[0])
+            or isinstance(vals[0], (np.integer, np.floating)))
+        if stackable:
             shapes = {np.asarray(v).shape for v in vals}
             if len(shapes) == 1:
                 batch[key] = np.stack([np.asarray(v) for v in vals])

@@ -86,6 +86,52 @@ class StoryPacker:
         return self.pack([self.encode_step(text_a), self.encode_step(text_b)],
                          max_seq_length)
 
+    def pack_berson_story(self, texts: Sequence[str],
+                          order_label: Sequence[int],
+                          max_story_length: Optional[int] = None,
+                          roberta_types: bool = True):
+        """BERSON pair expansion for one story
+        (`/root/reference/models/berson/process_inputs_for_berson.py:113-261`):
+        pairs_list = all (i<j) combinations then their reverses; each pair is
+        [steps_i ; steps_j] (each step keeps its own CLS/SEP), sep_positions
+        = [len_i - 1, len_pair - 1], pairwise_label = 1 iff i's true time
+        precedes j's. Fixed shapes: P = N*(N-1) pairs, pair length
+        2*per_seq_max_length."""
+        n = max_story_length or len(texts)
+        assert len(texts) == n, "berson packing expects full-length stories"
+        step_ids = self.encode_steps(texts)
+        L = 2 * self.per_seq_max_length
+        pairs = ([[i, j] for i in range(n) for j in range(i + 1, n)]
+                 + [[j, i] for i in range(n) for j in range(i + 1, n)])
+        order_label = list(order_label)
+        pos = {s: order_label.index(s) for s in range(n)}
+
+        P = len(pairs)
+        input_ids = np.full((P, L), self.pad_id, dtype=np.int32)
+        token_type_ids = np.zeros((P, L), dtype=np.int32)
+        sep_positions = np.zeros((P, 2), dtype=np.int32)
+        pairwise_labels = np.zeros((P,), dtype=np.int32)
+        for p, (i, j) in enumerate(pairs):
+            a, b_ = step_ids[i], step_ids[j]
+            cat = np.concatenate([a, b_])[:L]
+            input_ids[p, :len(cat)] = cat
+            sep_positions[p] = [len(a) - 1, min(len(a) + len(b_), L) - 1]
+            if not roberta_types:
+                token_type_ids[p, len(a):len(cat)] = 1
+            pairwise_labels[p] = int(pos[i] < pos[j])
+        attention_mask = (input_ids != self.pad_id).astype(np.int32)
+        return {
+            "input_ids": input_ids, "attention_mask": attention_mask,
+            "token_type_ids": token_type_ids,
+            "sep_positions": sep_positions,
+            "pairs_list": np.asarray(pairs, dtype=np.int32),
+            "pairwise_labels": pairwise_labels,
+            "ground_truth": np.asarray(order_label, dtype=np.int32),
+            "mask_cls": np.ones((n,), dtype=np.int32),
+            "passage_length": np.int32(n),
+            "pairs_num": np.int32(P),
+        }
+
     def pack_all_pairs(self, texts: Sequence[str],
                        max_pair_len: Optional[int] = None):
         """All N*(N-1) ordered pairs of a story as one (P, L) batch, plus the

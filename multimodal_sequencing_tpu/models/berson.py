@@ -1,0 +1,440 @@
+"""BERSON ordering wrapper: hierarchical attention + relational pointer
+decoder + beam search.
+
+TPU-native rebuild of the reference's flagship head
+(`/root/reference/models/berson/modeling_bert.py`): `BertForOrdering`
+(:825), `HierarchicalAttention` (:666-817), `TransformerInterEncoder`
+(`models/berson/encoder.py:32`), `step` (:1368-1402) and
+`beam_search_pointer` (:1411-1552) with `Beam` (`models/beam.py:8-38`).
+
+Key re-design decisions (semantics preserved, host loops removed):
+  * Pair expansion happens in the data layer (`StoryPacker.pack_berson_story`)
+    with static shapes (P = N(N-1), fixed pair length), not inside forward.
+  * The per-sentence scatter loops of HierarchicalAttention
+    (`modeling_bert.py:770-816`) become static gathers: for fixed N the
+    membership of each sentence in the pair list is known at trace time.
+  * The teacher-forced decoder and the beam search are unrolled over the
+    static story length (N <= max_story_length); beam state is a (W,)-batched
+    tensor program — no per-step host round trips.
+  * Reference quirks kept: history vectors use the *relative* score matrix
+    (`modeling_bert.py:1009-1011` passes cls_score_matrix_nn for both
+    history encodes); future means divide by N including masked zeros;
+    pointer loss normalizes by (len-1); pairwise CE weighted by
+    pairwise_loss_lam = 0.6 (`trainers/train.py:2012-2017`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .config import MultimodalConfig
+from .clip_visual import CLIPVisionConfig
+from .encoder import TextEncoder, TransformerLayer, attention_bias_from_mask
+from .multimodal_encoder import MultimodalEncoder
+from .heads import HeatmapHead
+
+NEG = -1e9
+
+
+def berson_pairs(n: int) -> np.ndarray:
+    """Static pair list: all (i<j) combinations then their reverses
+    (`process_inputs_for_berson.py:246-261`)."""
+    one = [[i, j] for i in range(n) for j in range(i + 1, n)]
+    return np.asarray(one + [[j, i] for i, j in one], dtype=np.int32)
+
+
+def _sentence_membership(n: int):
+    """For each sentence s: the (pair_idx, side) slots containing s.
+    Each sentence appears in 2(n-1) pairs."""
+    pairs = berson_pairs(n)
+    pair_idx = np.zeros((n, 2 * (n - 1)), np.int32)
+    side_idx = np.zeros((n, 2 * (n - 1)), np.int32)
+    for s in range(n):
+        k = 0
+        for p, (i, j) in enumerate(pairs):
+            if i == s:
+                pair_idx[s, k], side_idx[s, k] = p, 0
+                k += 1
+            elif j == s:
+                pair_idx[s, k], side_idx[s, k] = p, 1
+                k += 1
+    return pairs, pair_idx, side_idx
+
+
+class InterEncoderLayer(nn.Module):
+    """Pre-norm (except layer 0) transformer layer
+    (`models/berson/encoder.py:9-29`)."""
+    d_model: int
+    heads: int
+    d_ff: int
+    dropout: float
+    first: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        h = x if self.first else nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, name="self_attn")(
+            h, h, mask=mask[:, None, None, :].astype(bool))
+        x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, name="ff_ln")(x)
+        h = nn.Dense(self.d_ff, name="ff_1")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, name="ff_2")(h)
+        return x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
+
+
+class TransformerInterEncoder(nn.Module):
+    """Paragraph encoder over sentence vectors
+    (`models/berson/encoder.py:32-58`)."""
+    d_model: int
+    d_ff: int = 3072
+    heads: int = 8
+    dropout: float = 0.1
+    num_layers: int = 2
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        x = x * mask[:, :, None]
+        for i in range(self.num_layers):
+            x = InterEncoderLayer(self.d_model, self.heads, self.d_ff,
+                                  self.dropout, first=(i == 0),
+                                  name=f"layer_{i}")(x, mask, deterministic)
+        return nn.LayerNorm(epsilon=1e-6, name="ln_out")(x)
+
+
+class HierarchicalAttention(nn.Module):
+    """Two-level attention over pair encodings (`modeling_bert.py:666-817`).
+
+    Level 1: token attention inside each encoded pair, separately over the
+    sentence-A span (tokens 1..sep0) and sentence-B span (sep0+1..sep1),
+    producing two sentence vectors per pair. Level 2: per-sentence attention
+    over that sentence's 2(N-1) pair-contextualized vectors. Also emits the
+    pairwise classification scores and the (N, N) relation matrices consumed
+    by the pointer decoder."""
+    cfg: MultimodalConfig
+
+    @nn.compact
+    def __call__(self, top_vec, cls_pooled, sep_positions, mask_cls,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        n = cfg.max_story_length
+        b, p, L, h = top_vec.shape
+        pairs, pair_idx, side_idx = _sentence_membership(n)
+        pairs_j = jnp.asarray(pairs)
+
+        # --- level 1: token attention within each pair -----------------------
+        scores = nn.Dense(1, name="sentence_tran_2")(
+            jnp.tanh(nn.Dense(h, name="sentence_tran")(top_vec)))[..., 0]
+        # spans: A = [1, sep0], B = [sep0+1, sep1]
+        tok = jnp.arange(L)
+        sep0 = sep_positions[..., 0:1]
+        sep1 = sep_positions[..., 1:2]
+        mask_a = (tok[None, None] >= 1) & (tok[None, None] <= sep0)
+        mask_b = (tok[None, None] > sep0) & (tok[None, None] <= sep1)
+        span_mask = jnp.stack([mask_a, mask_b], axis=2)  # (B, P, 2, L)
+        att = jax.nn.softmax(
+            jnp.where(span_mask, scores[:, :, None, :], NEG), axis=-1)
+        att = nn.Dropout(cfg.encoder.hidden_dropout_prob)(
+            att, deterministic=deterministic)
+        mix = jnp.einsum("bpsl,bplh->bpsh", att, top_vec)  # (B, P, 2, H)
+
+        # --- pairwise / history scores --------------------------------------
+        cls_score = nn.Dense(2, name="pairwise_relationship")(cls_pooled)
+        cls_his1 = nn.Dense(2, name="h1_relationship")(cls_pooled)
+        cls_his2 = nn.Dense(2, name="h2_relationship")(cls_pooled)
+
+        # scatter per-pair quantities into (B, N, N, .) matrices
+        pi, pj = pairs[:, 0], pairs[:, 1]
+        def to_matrix(x):
+            out = jnp.zeros((b, n, n) + x.shape[2:], x.dtype)
+            return out.at[:, pi, pj].set(x)
+        cls_output_matrix = to_matrix(cls_pooled)      # (B, N, N, H)
+        cls_score_matrix = to_matrix(cls_score)        # (B, N, N, 2)
+        cls_score_matrix_his1 = to_matrix(cls_his1)
+        cls_score_matrix_his2 = to_matrix(cls_his2)
+
+        # --- level 2: per-sentence attention over membership ----------------
+        # sentence_tensor[b, s, e] = mix[b, pair_idx[s,e], side_idx[s,e]]
+        sent_tensor = mix[:, pair_idx, side_idx, :]    # (B, N, E, H)
+        edge_scores = nn.Dense(1, use_bias=False, name="linear_in_2")(
+            sent_tensor)[..., 0]                        # (B, N, E)
+        w = jax.nn.softmax(edge_scores, axis=-1)
+        doc = jnp.einsum("bne,bneh->bnh", w, sent_tensor)
+        doc = doc * mask_cls[:, :, None].astype(doc.dtype)
+
+        return (doc, cls_output_matrix, cls_score, cls_score_matrix,
+                cls_score_matrix_his1, cls_score_matrix_his2)
+
+
+class BersonOrdering(nn.Module):
+    """Full ordering model: inner pair encoder + hierarchical attention +
+    inter encoder + relational LSTM pointer (train: teacher forced;
+    inference: beam search)."""
+    cfg: MultimodalConfig
+    vision_cfg: Optional[CLIPVisionConfig] = None
+    beam_size: int = 16
+    pairwise_loss_lam: float = 0.6
+
+    def setup(self):
+        cfg = self.cfg
+        h = cfg.encoder.hidden_size
+        if cfg.multimodal:
+            self.inner = MultimodalEncoder(cfg, self.vision_cfg,
+                                           name="inner")
+        else:
+            self.inner = TextEncoder(cfg.encoder, name="inner")
+        self.two_level_encoder = HierarchicalAttention(
+            cfg, name="two_level_encoder")
+        self.para_encoder = TransformerInterEncoder(
+            h, name="para_encoder")
+        self.key_linear = nn.Dense(h, name="key_linear")
+        self.query_linear = nn.Dense(h, name="query_linear")
+        self.tanh_linear = nn.Dense(1, name="tanh_linear")
+        self.pw_k = nn.Dense(h, use_bias=False, name="pw_k")
+        self.decoder_cell = nn.OptimizedLSTMCell(h, name="decoder")
+        if cfg.wrapper_model_with_heatmap:
+            self.heatmap = HeatmapHead(cfg, name="heatmap")
+
+    # ----- encoding ----------------------------------------------------------
+
+    def encode(self, batch, deterministic: bool = True):
+        cfg = self.cfg
+        n = cfg.max_story_length
+        input_ids = batch["input_ids"]          # (B, P, L)
+        b, p, L = input_ids.shape
+        flat = lambda x: x.reshape((b * p,) + x.shape[2:])
+        ids = flat(input_ids)
+        attn = flat(batch["attention_mask"])
+        types = flat(batch["token_type_ids"])
+        if cfg.multimodal and batch.get("images") is not None:
+            # per-pair image pairs: (B, N, C, H, W) -> (B, P, 2, C, H, W)
+            pairs = jnp.asarray(berson_pairs(n))
+            imgs = batch["images"][:, pairs]            # (B, P, 2, C, H, W)
+            imgs = flat(imgs)                            # (B*P, 2, C, H, W)
+            lang, _, _ = self.inner(ids, attn, types, images=imgs,
+                                    deterministic=deterministic)
+        else:
+            out = self.inner(ids, attn, types, deterministic=deterministic)
+            lang = out[0]
+        top_vec = lang.reshape(b, p, L, -1)
+        cls_pooled = top_vec[:, :, 0]  # CLS hidden (`modeling_bert.py:1290`)
+
+        mask_cls = batch["mask_cls"].astype(jnp.float32)
+        (doc, cls_out_m, cls_score, cls_score_m, his1_m, his2_m) = (
+            self.two_level_encoder(top_vec, cls_pooled,
+                                   batch["sep_positions"], mask_cls,
+                                   deterministic))
+        para = self.para_encoder(doc, mask_cls, deterministic)
+        para = para * mask_cls[:, :, None]
+        num_sen = mask_cls.sum(1, keepdims=True)
+        para_vec = para.sum(1) / jnp.maximum(num_sen, 1e-20)
+        key = self.key_linear(jnp.concatenate([doc, para], axis=-1))
+        hcn = (para_vec, jnp.zeros_like(para_vec))
+        return dict(doc=doc, key=key, hcn=hcn, cls_score=cls_score,
+                    cls_output_matrix=cls_out_m, cls_score_matrix=cls_score_m,
+                    his1_matrix=his1_m, his2_matrix=his2_m,
+                    mask_cls=mask_cls)
+
+    @staticmethod
+    def rela_encode(cls_output_matrix, cls_score_matrix):
+        p = jax.nn.softmax(cls_score_matrix, axis=-1)
+        return jnp.concatenate([cls_output_matrix, p], axis=-1)
+
+    def _pointer_logits_step(self, carry_h, carry_c, dec_inp, key,
+                             rela_vec, rela_mask, hist, l1_row, l2_row,
+                             pointed, mask_cls):
+        """One decoder step shared by training and beam search
+        (`modeling_bert.py:1368-1402`). Row selections are index-based:
+        l1_row/l2_row are (B,) previous indices or -1 for none."""
+        b, n = pointed.shape
+        (carry_c, carry_h), out = self.decoder_cell(
+            (carry_c, carry_h), dec_inp)
+        query = self.query_linear(out)  # (B, H)
+
+        def hist_row(row_idx):
+            gathered = jnp.take_along_axis(
+                hist, jnp.maximum(row_idx, 0)[:, None, None, None]
+                .astype(jnp.int32), axis=1)[:, 0]  # (B, N, H+2)
+            return jnp.where((row_idx >= 0)[:, None, None], gathered, 0.0)
+
+        left1 = hist_row(l1_row)
+        left2 = hist_row(l2_row)
+        masked_rela = rela_vec * rela_mask[..., None]
+        forw = masked_rela.mean(2)   # divide by N incl. zeros (ref quirk)
+        back = masked_rela.mean(1)
+        pw = jnp.concatenate([left1, left2, forw, back], axis=-1)
+        keys = self.pw_k(pw)  # (B, N, H)
+        e = self.tanh_linear(
+            jnp.tanh(query[:, None, :] + keys + key))[..., 0]
+        e = jnp.where(pointed, NEG, e)
+        e = jnp.where(mask_cls > 0, e, NEG)
+        return (carry_h, carry_c), e
+
+    # ----- training ----------------------------------------------------------
+
+    def __call__(self, batch, deterministic: bool = True):
+        cfg = self.cfg
+        n = cfg.max_story_length
+        enc = self.encode(batch, deterministic)
+        doc, key = enc["doc"], enc["key"]
+        mask_cls = enc["mask_cls"]
+        target = batch["ground_truth"].astype(jnp.int32)  # (B, N) chain
+        b = target.shape[0]
+
+        rela_vec = self.rela_encode(enc["cls_output_matrix"],
+                                    enc["cls_score_matrix"])
+        # history uses the relative score matrix (reference quirk,
+        # `modeling_bert.py:1009-1011`)
+        hist = rela_vec
+
+        eye = jnp.eye(n, dtype=bool)
+        rela_mask = jnp.broadcast_to(~eye, (b, n, n))
+        valid_pair = (mask_cls[:, :, None] > 0) & (mask_cls[:, None, :] > 0)
+        rela_mask = rela_mask & valid_pair
+
+        h, c = enc["hcn"]
+        pointed = jnp.zeros((b, n), bool)
+        logits = []
+        bidx = jnp.arange(b)
+        neg1 = jnp.full((b,), -1, jnp.int32)
+        for t in range(n):
+            if t == 0:
+                dec_inp = jnp.zeros_like(doc[:, 0])
+                l1_row, l2_row = neg1, neg1
+            else:
+                tar = target[:, t - 1]
+                dec_inp = doc[bidx, tar]
+                rela_mask = rela_mask & ~(
+                    (jnp.arange(n)[None, :, None] == tar[:, None, None])
+                    | (jnp.arange(n)[None, None, :] == tar[:, None, None]))
+                l1_row = tar
+                l2_row = target[:, t - 2] if t > 1 else neg1
+                pointed = pointed.at[bidx, tar].set(True)
+            (h, c), e = self._pointer_logits_step(
+                h, c, dec_inp, key, rela_vec, rela_mask, hist,
+                l1_row, l2_row, pointed, mask_cls)
+            logits.append(e)
+        logits = jnp.stack(logits, axis=1)  # (B, N, N)
+
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, target[:, :, None], axis=2)[..., 0]
+        tmask = jnp.take_along_axis(mask_cls, target, axis=1)
+        nll = nll * tmask
+        num_sen = mask_cls.sum(1)
+        pointer_loss = (nll.sum(1)
+                        / jnp.maximum(num_sen - 1, 1e-20))
+
+        # pairwise loss (`modeling_bert.py:1144-1174`)
+        plabels = batch["pairwise_labels"].astype(jnp.int32)  # (B, P)
+        cls_logp = jax.nn.log_softmax(enc["cls_score"], axis=-1)
+        pw_nll = -jnp.take_along_axis(
+            cls_logp, plabels[:, :, None], axis=2)[..., 0]
+        pairwise_loss = pw_nll.mean(1)
+
+        valid = batch.get("valid")
+        if valid is not None:
+            v = valid.astype(jnp.float32)
+            denom = jnp.maximum(v.sum(), 1)
+            pointer_loss = (pointer_loss * v).sum() / denom
+            pairwise_loss = (pairwise_loss * v).sum() / denom
+        else:
+            pointer_loss = pointer_loss.mean()
+            pairwise_loss = pairwise_loss.mean()
+
+        loss = pointer_loss + self.pairwise_loss_lam * pairwise_loss
+        out = {"loss": loss, "pointer_loss": pointer_loss,
+               "pairwise_loss": pairwise_loss, "pointer_logits": logits}
+
+        if cfg.wrapper_model_with_heatmap:
+            from .sequencer import render_heatmap_targets
+            present = mask_cls > 0
+            hm = self.heatmap(doc, present, deterministic)
+            hm_target = render_heatmap_targets(target, n)
+            hm_loss = HeatmapHead.loss(hm, hm_target, present)
+            out["heatmap"] = hm
+            out["heatmap_loss"] = hm_loss
+            out["loss"] = loss + hm_loss
+        return out
+
+    # ----- inference ---------------------------------------------------------
+
+    def beam_search(self, batch, deterministic: bool = True):
+        """Batched beam search (`modeling_bert.py:1411-1552`). Each story
+        runs W beams for N-1 steps then appends the leftover node. All
+        (B, W) beam states live in one tensor program — the (B*W) dim is the
+        batch of the shared pointer step, replacing the reference's
+        host-driven batch-1 loop. Returns (B, N) predicted chains."""
+        cfg = self.cfg
+        n = cfg.max_story_length
+        W = self.beam_size
+        enc = self.encode(batch, deterministic)
+        rela_vec0 = self.rela_encode(enc["cls_output_matrix"],
+                                     enc["cls_score_matrix"])
+        doc, key, mask_cls = enc["doc"], enc["key"], enc["mask_cls"]
+        b = doc.shape[0]
+        h0, c0 = enc["hcn"]
+
+        def tile(x):  # (B, ...) -> (B*W, ...)
+            return jnp.repeat(x, W, axis=0)
+
+        flatten = lambda x: x.reshape((b * W,) + x.shape[2:])
+        unflat = lambda x: x.reshape((b, W) + x.shape[1:])
+
+        eye = jnp.eye(n, dtype=bool)
+        valid_pair = (mask_cls[:, :, None] > 0) & (mask_cls[:, None, :] > 0)
+        rela_mask = tile(jnp.broadcast_to(~eye, (b, n, n)) & valid_pair)
+        hist = tile(rela_vec0)
+        relaW = tile(rela_vec0)
+        keyW, mask_W = tile(key), tile(mask_cls)
+        docW = tile(doc)
+        h, c = tile(h0), tile(c0)
+        pointed = jnp.zeros((b * W, n), bool)
+        cands = jnp.zeros((b * W, n), jnp.int32)
+        scores = jnp.tile(jnp.full((W,), NEG).at[0].set(0.0), (b,))
+        bw = jnp.arange(b * W)
+        neg1 = jnp.full((b * W,), -1, jnp.int32)
+
+        for t in range(n - 1):
+            if t == 0:
+                dec_inp = jnp.zeros((b * W, doc.shape[-1]), doc.dtype)
+                l1_row, l2_row = neg1, neg1
+            else:
+                last = cands[:, t - 1]
+                dec_inp = docW[bw, last]
+                l1_row = last
+                l2_row = cands[:, t - 2] if t > 1 else neg1
+            (h, c), e = self._pointer_logits_step(
+                h, c, dec_inp, keyW, relaW, rela_mask, hist,
+                l1_row, l2_row, pointed, mask_W)
+            logp = jax.nn.log_softmax(e, axis=-1)
+            total = unflat(scores[:, None] + logp)  # (B, W, N)
+            top_scores, top_ix = jax.lax.top_k(
+                total.reshape(b, W * n), W)          # per story
+            beam_ix = top_ix // n                    # (B, W)
+            tok_ix = (top_ix % n).reshape(-1)
+            sel = (jnp.arange(b)[:, None] * W + beam_ix).reshape(-1)
+            h, c = h[sel], c[sel]
+            pointed = pointed[sel]
+            rela_mask = rela_mask[sel]
+            cands = cands[sel].at[:, t].set(tok_ix)
+            scores = top_scores.reshape(-1)
+            pointed = pointed.at[bw, tok_ix].set(True)
+            rela_mask = rela_mask & ~(
+                (jnp.arange(n)[None, :, None] == tok_ix[:, None, None])
+                | (jnp.arange(n)[None, None, :] == tok_ix[:, None, None]))
+
+        scores_b = unflat(scores)
+        best = jnp.argmax(scores_b, axis=1)  # (B,)
+        sel = jnp.arange(b) * W + best
+        chain = cands[sel]  # (B, N)
+        # append the leftover node (`modeling_bert.py:1546-1549`)
+        leftover = jnp.argmin(pointed[sel].astype(jnp.int32)
+                              + (mask_cls == 0) * 2, axis=1)
+        return chain.at[:, n - 1].set(leftover)

@@ -72,6 +72,9 @@ def make_train_step(cfg, mesh=None, donate: bool = True) -> Callable:
 
     def step(state, batch, dropout_rng):
         mutable = list(state.model_state.keys())
+        # fold the step in: reusing one dropout mask every step lets the
+        # model co-adapt to the mask and diverge from the eval-time function
+        dropout_rng = jax.random.fold_in(dropout_rng, state.step)
 
         def loss_fn(params):
             variables = {"params": params, **state.model_state}
