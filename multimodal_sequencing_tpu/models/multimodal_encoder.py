@@ -147,10 +147,30 @@ class MultimodalEncoder(nn.Module):
             feats = self.visual_token_type(feats, img_len=n)
         return self.visn_fc(feats, deterministic=deterministic)
 
-    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
-                 images=None, deterministic: bool = True):
+    def joint_encode(self, lang, visn, attention_mask,
+                     deterministic: bool = True):
+        """Run the shared layers over [lang; visn] and split back
+        (`modeling.py:1076-1107`). `visn` may be None (text-only)."""
+        ecfg = self.cfg.encoder
+        lang_len = lang.shape[1]
+        if visn is not None:
+            joint = jnp.concatenate([lang, visn.astype(lang.dtype)], axis=1)
+            vis_mask = jnp.ones(visn.shape[:2], attention_mask.dtype)
+            mask = jnp.concatenate([attention_mask, vis_mask], axis=1)
+        else:
+            joint = lang
+            mask = attention_mask
+        bias = attention_bias_from_mask(mask, ecfg.compute_dtype)
+        for layer in self.layers:
+            joint = layer(joint, bias, deterministic)
+        lang_out = joint[:, :lang_len]
+        visn_out = joint[:, lang_len:] if visn is not None else None
+        pooled = nn.tanh(self.pooler_dense(lang_out[:, 0]))
+        return lang_out, visn_out, pooled
+
+    def embed_language(self, input_ids, attention_mask=None,
+                       token_type_ids=None, deterministic: bool = True):
         cfg = self.cfg
-        ecfg = cfg.encoder
         if attention_mask is None:
             attention_mask = jnp.ones_like(input_ids)
         if cfg.multimodal_img_part:
@@ -161,25 +181,14 @@ class MultimodalEncoder(nn.Module):
                               if token_type_ids is not None else None)
         lang = self.embeddings(input_ids, token_type_ids,
                                deterministic=deterministic)
-        lang_len = lang.shape[1]
+        return lang, attention_mask
 
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 images=None, deterministic: bool = True):
+        cfg = self.cfg
+        lang, attention_mask = self.embed_language(
+            input_ids, attention_mask, token_type_ids, deterministic)
         visn = None
         if images is not None and not cfg.multimodal_text_part:
             visn = self.encode_visual(images, deterministic)
-
-        if visn is not None:
-            joint = jnp.concatenate([lang, visn], axis=1)
-            vis_mask = jnp.ones(visn.shape[:2], attention_mask.dtype)
-            mask = jnp.concatenate([attention_mask, vis_mask], axis=1)
-        else:
-            joint = lang
-            mask = attention_mask
-
-        bias = attention_bias_from_mask(mask, ecfg.compute_dtype)
-        for layer in self.layers:
-            joint = layer(joint, bias, deterministic)
-
-        lang_out = joint[:, :lang_len]
-        visn_out = joint[:, lang_len:] if visn is not None else None
-        pooled = nn.tanh(self.pooler_dense(lang_out[:, 0]))
-        return lang_out, visn_out, pooled
+        return self.joint_encode(lang, visn, attention_mask, deterministic)

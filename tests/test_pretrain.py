@@ -1,0 +1,177 @@
+"""Pretraining stack tests: MLM masking, objective planners, pretrainer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_sequencing_tpu.train.mlm import mask_tokens_sentence
+from multimodal_sequencing_tpu.train.objectives import (
+    plan_objective, choose_objective)
+from multimodal_sequencing_tpu.models.config import (
+    EncoderConfig, MultimodalConfig)
+from multimodal_sequencing_tpu.models.clip_visual import CLIPVisionConfig
+from multimodal_sequencing_tpu.models.pretrainer import SequencingPretrainer
+
+
+def _cfg(multimodal=True, n=3, **kw):
+    enc = EncoderConfig.tiny(max_position_embeddings=200)
+    return MultimodalConfig(
+        encoder=enc, max_story_length=n, max_seq_length=60,
+        per_seq_max_length=10, multimodal=multimodal,
+        clip_model_name="ViT-B/32", image_size=(32, 32),
+        mask_id=4, patch_grid=4, **kw)
+
+
+def _batch(cfg, b=2, seed=0):
+    rng = np.random.RandomState(seed)
+    n, L = cfg.max_story_length, cfg.max_seq_length
+    step = L // n
+    ids = rng.randint(5, cfg.encoder.vocab_size, (b, L)).astype(np.int32)
+    for s in range(n):
+        ids[:, s * step] = cfg.cls_id
+    ids[:, -4:] = cfg.pad_id
+    batch = {
+        "input_ids": ids,
+        "attention_mask": (ids != cfg.pad_id).astype(np.int32),
+        "token_type_ids": np.repeat(
+            np.arange(n, dtype=np.int32), step)[None].repeat(b, 0),
+        "images": rng.randn(b, n, 3, 32, 32).astype(np.float32),
+    }
+    return batch
+
+
+def test_mask_tokens_sentence():
+    rng = np.random.default_rng(0)
+    ids = np.full((4, 50), 7, np.int64)
+    ids[:, 0] = 0   # cls
+    ids[:, 40:] = 1  # pad
+    masked, labels = mask_tokens_sentence(
+        ids, mlm_probability=0.5, pad_id=1, cls_id=0, mask_id=4,
+        vocab_size=100, ignore_index=-100, rng=rng)
+    # CLS never masked
+    assert (masked[:, 0] == 0).all()
+    assert (labels[:, 0] == -100).all()
+    # pads untouched
+    assert (masked[:, 40:] == 1).all()
+    assert (labels[:, 40:] == -100).all()
+    # some positions masked, labels keep originals there
+    sel = labels != -100
+    assert sel.sum() > 20
+    assert (labels[sel] == 7).all()
+    # ~80% of masked positions become [MASK]
+    frac_mask = (masked[sel] == 4).mean()
+    assert 0.6 < frac_mask < 0.95
+
+
+def test_plan_image_swapping():
+    cfg = _cfg()
+    batch = _batch(cfg, b=4)
+    rng = np.random.default_rng(1)
+    nb, aux = plan_objective("image_swapping", batch, cfg, rng,
+                             subsample_len=2)
+    assert aux["objective_labels"].shape == (4,)
+    assert int(aux["eff_n"]) == 2
+    assert nb["images"].shape == (4, 2, 3, 32, 32)
+    # language is subsampled to 2 step spans
+    assert nb["input_ids"].shape[1] == cfg.max_seq_length // 3 * 2
+    n_cls = (nb["input_ids"] == cfg.cls_id).sum(1)
+    assert (n_cls == 2).all()
+
+
+def test_plan_margin_loss():
+    cfg = _cfg(n=4)
+    batch = _batch(cfg, b=3)
+    rng = np.random.default_rng(2)
+    nb, aux = plan_objective("margin_loss", batch, cfg, rng)
+    # batch doubles: variant-1 rows then variant-2 rows
+    assert nb["input_ids"].shape[0] == 6
+    assert nb["images"].shape == (6, 2, 3, 32, 32)
+    assert aux["margin_target"].tolist() == [1, 1, 1]
+
+
+def test_plan_patch_objectives():
+    cfg = _cfg()
+    batch = _batch(cfg, b=3)
+    rng = np.random.default_rng(3)
+    nb, aux = plan_objective("patch_based_image_swapping", batch, cfg, rng)
+    stream = 1 + 2 * cfg.patch_grid ** 2
+    assert aux["patch_perm"].shape == (3, stream)
+    for i in range(3):
+        assert sorted(aux["patch_perm"][i].tolist()) == list(range(stream))
+    nb2, aux2 = plan_objective("patch_based_mrm_classification", batch, cfg,
+                               rng)
+    assert aux2["mask_idx"].shape == (3, 10)  # 5 per step x 2 steps
+    assert (aux2["mask_idx"] >= 1).all()
+
+
+def test_plan_time_contrastive():
+    cfg = _cfg(n=5)
+    batch = _batch(cfg, b=4)
+    rng = np.random.default_rng(4)
+    _, aux = plan_objective("time_contrastive", batch, cfg, rng)
+    a, p, g = aux["anchor_idx"], aux["positive_idx"], aux["negative_idx"]
+    assert (np.abs(a - p) == 1).all()
+    assert (np.abs(a - g) >= 2).all()
+
+
+def test_choose_objective_uniform():
+    rng = np.random.default_rng(0)
+    objs = ["image_swapping", "patch_based_mrm_classification"]
+    picks = {choose_objective(objs, rng) for _ in range(20)}
+    assert picks == set(objs)
+
+
+@pytest.mark.parametrize("objective", [
+    "image_swapping", "multimodal_swapping", "margin_loss",
+    "time_contrastive", "patch_based_image_swapping",
+    "patch_based_mrm_classification"])
+def test_pretrainer_losses(objective, tokenizer):
+    cfg = _cfg(n=3)
+    vcfg = CLIPVisionConfig.tiny_vit()  # grid 4 matches cfg.patch_grid
+    model = SequencingPretrainer(cfg, vcfg)
+    batch = _batch(cfg, b=4)
+    rng_np = np.random.default_rng(5)
+    # MLM labels
+    from multimodal_sequencing_tpu.train.mlm import mask_tokens_sentence
+    masked, labels = mask_tokens_sentence(
+        batch["input_ids"], mlm_probability=0.15, pad_id=cfg.pad_id,
+        cls_id=cfg.cls_id, mask_id=cfg.mask_id,
+        vocab_size=cfg.encoder.vocab_size,
+        ignore_index=cfg.mlm_ignore_index, rng=rng_np)
+    batch["input_ids"] = masked
+    batch["mlm_labels"] = labels
+    nb, aux = plan_objective(objective, batch, cfg, rng_np)
+    nb = {k: jnp.asarray(v) for k, v in nb.items()
+          if isinstance(v, np.ndarray)}
+    aux_j = {k: jnp.asarray(v) for k, v in aux.items()
+             if isinstance(v, np.ndarray) and np.asarray(v).ndim > 0}
+    variables = model.init(jax.random.PRNGKey(0), nb, objective, aux_j)
+    losses = model.apply(variables, nb, objective, aux_j)
+    assert np.isfinite(float(losses["loss"]))
+    if objective not in ("time_contrastive",):
+        assert objective in losses or "mlm" in losses
+    assert "mlm" in losses
+
+
+def test_pretrainer_text_only(tokenizer):
+    cfg = _cfg(multimodal=False, n=3)
+    model = SequencingPretrainer(cfg)
+    batch = {k: v for k, v in _batch(cfg, b=2).items() if k != "images"}
+    rng_np = np.random.default_rng(6)
+    masked, labels = mask_tokens_sentence(
+        batch["input_ids"], mlm_probability=0.15, pad_id=cfg.pad_id,
+        cls_id=cfg.cls_id, mask_id=cfg.mask_id,
+        vocab_size=cfg.encoder.vocab_size,
+        ignore_index=cfg.mlm_ignore_index, rng=rng_np)
+    batch["input_ids"] = masked
+    batch["mlm_labels"] = labels
+    nb, aux = plan_objective("swapping_based_nsp", batch, cfg, rng_np)
+    nb = {k: jnp.asarray(v) for k, v in nb.items()}
+    aux_j = {k: jnp.asarray(v) for k, v in aux.items()
+             if np.asarray(v).ndim > 0}
+    variables = model.init(jax.random.PRNGKey(0), nb, "swapping_based_nsp",
+                           aux_j)
+    losses = model.apply(variables, nb, "swapping_based_nsp", aux_j)
+    assert np.isfinite(float(losses["loss"]))
+    assert "mlm" in losses and "swapping_based_nsp" in losses
