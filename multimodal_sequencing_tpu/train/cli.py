@@ -1,0 +1,537 @@
+"""CLI flag surface and entry points.
+
+Preserves the reference's argparse surface (union of
+`/root/reference/trainers/train.py:866-1392`,
+`run_pretraining.py:705-1210`, `eval.py:1322-1705`; inventoried in SURVEY
+§2.5) so reference invocations port over:
+
+  python -m multimodal_sequencing_tpu.trainers.train --do_train ...
+  python -m multimodal_sequencing_tpu.trainers.run_pretraining ...
+  python -m multimodal_sequencing_tpu.trainers.eval --sort_method ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from typing import Optional
+
+logger = logging.getLogger(__name__)
+
+
+def build_parser(kind: str = "train") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    add = p.add_argument
+
+    # --- model / data --------------------------------------------------------
+    add("--model_name_or_path", type=str, default="simple")
+    add("--model_name_or_path_1", type=str, default=None)
+    add("--model_name_or_path_2", type=str, default=None)
+    add("--model_name_or_path_3", type=str, default=None)
+    add("--config_name", type=str, default="")
+    add("--tokenizer_name", type=str, default="")
+    add("--model_size", type=str, default="large",
+        choices=["tiny", "base", "large"],
+        help="encoder size when config_name gives no local config")
+    add("--data_dir", type=str, default=None)
+    add("--data_dirs", type=str, nargs="+", default=None)
+    add("--data_name", type=str, default="wikihow")
+    add("--data_names", type=str, nargs="+", default=None)
+    add("--task_name", type=str, default=None)
+    add("--task_type", type=str, default=None)
+    add("--train_split", type=str, default="train")
+    add("--eval_splits", type=str, nargs="+", default=["test"])
+    add("--data_splits", type=str, nargs="+", default=None)
+    add("--order_criteria", type=str, default="tight",
+        choices=["tight", "loose"])
+    add("--max_story_length", type=int, default=5)
+    add("--min_story_length", type=int, default=5)
+    add("--max_seq_length", type=int, default=300)
+    add("--per_seq_max_length", type=int, default=60)
+    add("--caption_transformations", type=str, nargs="+", default=None)
+    add("--paired_with_image", type=str, default="true")
+    add("--replace_token_type_embeddings", action="store_true")
+
+    # --- multimodal ----------------------------------------------------------
+    add("--multimodal", action="store_true")
+    add("--multimodal_model_type", type=str, default="clip",
+        choices=["naive", "visualbert", "vilbert", "vlbert", "uniter",
+                 "clip"])
+    add("--vision_model", type=str, default="resnet50")
+    add("--clip_model_name", type=str, default="RN50",
+        choices=["RN50", "ViT-B/32"])
+    add("--clip_visual_model_weights", type=str, default=None)
+    add("--vision_model_checkpoint", type=str, default=None)
+    add("--freeze_vision_model", action="store_true")
+    add("--multimodal_text_part", action="store_true")
+    add("--multimodal_img_part", action="store_true")
+    add("--multimodal_fusion_method", type=str, default="sum",
+        choices=["sum", "mul", "text_only", "img_only"])
+    add("--multimodal_loss", action="store_true")
+    add("--include_num_img_regional_features", type=int, default=None)
+    add("--include_full_img_features", action="store_true")
+    add("--vision_image_size", type=int, default=224)
+
+    # --- heads / decoding ----------------------------------------------------
+    add("--hierarchical_version", type=str, default="v0",
+        choices=["v0", "v1", "v2", "v3", "p0", "p1"])
+    add("--heatmap_decode_method", type=str, default="naive_v2_sum",
+        choices=["super_naive", "naive", "naive_v2", "naive_v2_sum",
+                 "naive_sum", "naive_v3", "mst", "topological"])
+    add("--heatmap_decode_beam_size", type=int, default=2)
+    add("--hl_include_objectives", type=str, nargs="+", default=None)
+    add("--wrapper_model_type", type=str, default=None)
+    add("--wrapper_model_with_heatmap", action="store_true")
+    add("--additional_wrapper_level_objectives", type=str, nargs="+",
+        default=None)
+    add("--beam_size", type=int, default=16)
+    add("--pairwise_loss_lam", type=float, default=0.6)
+
+    # --- pretraining ---------------------------------------------------------
+    add("--multimodal_pretrain_objectives", type=str, nargs="+",
+        default=None)
+    add("--mlm_probability", type=float, default=0.15)
+    add("--mlm_ignore_index", type=int, default=-100)
+
+    # --- loop ----------------------------------------------------------------
+    add("--do_train", action="store_true")
+    add("--do_eval", action="store_true")
+    add("--evaluate_during_training", action="store_true")
+    add("--per_gpu_train_batch_size", type=int, default=8)
+    add("--per_gpu_eval_batch_size", type=int, default=8)
+    add("--gradient_accumulation_steps", type=int, default=1)
+    add("--learning_rate", type=float, default=5e-6)
+    add("--weight_decay", type=float, default=0.0)
+    add("--adam_epsilon", type=float, default=1e-8)
+    add("--max_grad_norm", type=float, default=1.0)
+    add("--num_train_epochs", type=float, default=3.0)
+    add("--max_steps", type=int, default=-1)
+    add("--max_eval_steps", type=int, default=None)
+    add("--warmup_steps", type=int, default=0)
+    add("--logging_steps", type=int, default=50)
+    add("--save_steps", type=int, default=500)
+    add("--iters_to_eval", type=str, nargs="+", action="extend",
+        default=None)
+    add("--eval_all_checkpoints", action="store_true")
+    add("--seed", type=int, default=42)
+    add("--fp16", action="store_true",
+        help="accepted for reference-compat; compute dtype is bfloat16")
+    add("--fp16_opt_level", type=str, default="O1")
+    add("--local_rank", type=int, default=-1)
+    add("--no_cuda", action="store_true")
+    add("--overwrite_output_dir", action="store_true")
+    add("--overwrite_cache", action="store_true")
+    add("--use_cached", action="store_true")
+    add("--do_not_load_optimizer", action="store_true")
+    add("--output_dir", type=str, default="outputs/run")
+    add("--output_root", type=str, default=None)
+    add("--debug", action="store_true")
+    add("--metrics", type=str, nargs="+", default=None)
+    add("--multiref_metrics", type=str, default="max")
+    add("--eval_save_all_results", action="store_true")
+
+    # --- eval-only -----------------------------------------------------------
+    add("--sort_method", type=str, default="topological",
+        choices=["topological", "head_and_topological",
+                 "head_and_sequential", "head_and_sequential_abductive",
+                 "pure_class", "pure_decode", "heat_map", "berson"])
+    add("--abd_pred_method", type=str, default="binary")
+    add("--eval_on_every_iter", action="store_true")
+
+    return p
+
+
+def resolve_output_dir(args) -> str:
+    if args.output_root:
+        return os.path.join(args.output_root, args.output_dir)
+    return args.output_dir
+
+
+def build_config(args):
+    """argparse namespace -> MultimodalConfig (replaces the reference's
+    args-onto-HF-config copying, `train.py:1587-1620`)."""
+    from ..models.config import EncoderConfig, MultimodalConfig
+    from ..data.tokenization import load_tokenizer
+
+    tokenizer = load_tokenizer(args.tokenizer_name or args.model_name_or_path)
+    vocab = len(tokenizer)
+    if args.model_size == "tiny":
+        enc = EncoderConfig.tiny(vocab_size=vocab)
+    elif args.model_size == "base":
+        enc = EncoderConfig.roberta_base(vocab_size=vocab)
+    else:
+        enc = EncoderConfig.roberta_large(vocab_size=vocab)
+    if args.replace_token_type_embeddings:
+        enc.type_vocab_size = args.max_story_length
+    cfg = MultimodalConfig(
+        encoder=enc,
+        max_story_length=args.max_story_length,
+        min_story_length=args.min_story_length,
+        max_seq_length=args.max_seq_length,
+        per_seq_max_length=args.per_seq_max_length,
+        cls_id=tokenizer.cls_token_id,
+        pad_id=tokenizer.pad_token_id,
+        mask_id=getattr(tokenizer, "mask_token_id", None) or 4,
+        mlm_ignore_index=args.mlm_ignore_index,
+        multimodal=args.multimodal,
+        multimodal_model_type=args.multimodal_model_type,
+        vision_model=args.vision_model,
+        clip_model_name=args.clip_model_name,
+        freeze_vision_model=args.freeze_vision_model,
+        multimodal_text_part=args.multimodal_text_part,
+        multimodal_img_part=args.multimodal_img_part,
+        multimodal_fusion_method=args.multimodal_fusion_method,
+        num_img_regional_features=args.include_num_img_regional_features,
+        image_size=(args.vision_image_size, args.vision_image_size),
+        hierarchical_version=args.hierarchical_version,
+        hl_include_objectives=args.hl_include_objectives or [],
+        heatmap_decode_method=args.heatmap_decode_method,
+        heatmap_decode_beam_size=args.heatmap_decode_beam_size,
+        wrapper_model_type=args.wrapper_model_type,
+        wrapper_model_with_heatmap=args.wrapper_model_with_heatmap,
+        multimodal_pretrain_objectives=(
+            args.multimodal_pretrain_objectives or []),
+        mlm_probability=args.mlm_probability,
+    )
+    return cfg, tokenizer
+
+
+def _parse_task(args):
+    """task_name '{data}_{tasktype}' resolution incl. split '-' version
+    parsing (`train.py:635-641,1475-1519`)."""
+    task_name = args.task_name or f"{args.data_name}_{args.task_type}"
+    data_name, _, task_type = task_name.partition("_")
+    return data_name, task_type
+
+
+def _split_version(split: str):
+    """'train-acl22' -> (split='train', version_text='acl22')."""
+    if "-" in split:
+        base, version = split.split("-", 1)
+        return base, version
+    return split, None
+
+
+def make_processor(args, data_name: str, split: str, for_task: str):
+    from ..data.registry import get_processor
+    from ..data.caption_transforms import select_caption_transforms
+    base_split, version = _split_version(split)
+    task_key = f"{data_name}_{for_task}"
+    ct = select_caption_transforms(args, data_name, base_split)
+    proc = get_processor(
+        task_key, data_dir=args.data_dir or (
+            args.data_dirs[0] if args.data_dirs else None),
+        order_criteria=args.order_criteria,
+        min_story_length=args.min_story_length,
+        max_story_length=args.max_story_length,
+        version_text=version, caption_transforms=ct,
+        pure_class=(for_task == "pure_class"),
+        paired_with_image=args.multimodal)
+    return proc, base_split
+
+
+def load_examples(args, data_name, task_type, split):
+    proc, base_split = make_processor(args, data_name, split, task_type)
+    if base_split == "train":
+        return proc.get_train_examples()
+    if base_split in ("dev", "val"):
+        return proc.get_dev_examples()
+    return proc.get_test_examples()
+
+
+def make_dataset(args, cfg, tokenizer, task_type, examples, scramble=True,
+                 decode=False):
+    from ..data.datasets import (
+        PairwiseDataset, HeadPredDataset, AbductiveDataset, PureClassDataset,
+        SortDataset, PretrainDataset, BersonDataset)
+    common = dict(
+        max_length=args.max_seq_length,
+        per_seq_max_length=args.per_seq_max_length,
+        max_story_length=args.max_story_length,
+        min_story_length=args.min_story_length,
+        seed=args.seed, multimodal=args.multimodal,
+        image_size=(args.vision_image_size, args.vision_image_size),
+        num_img_regional_features=args.include_num_img_regional_features)
+    if args.wrapper_model_type == "berson":
+        return BersonDataset(examples, tokenizer, scramble=scramble,
+                             **common)
+    if task_type == "pairwise":
+        return PairwiseDataset(examples, tokenizer, **common)
+    if task_type == "head":
+        return HeadPredDataset(examples, tokenizer, scramble=scramble,
+                               **common)
+    if task_type == "abductive":
+        return AbductiveDataset(examples, tokenizer,
+                                pred_method=args.abd_pred_method, **common)
+    if task_type in ("pure_class", "hl_v1"):
+        if args.hierarchical_version in ("v1", "v2", "v3", "p0", "p1"):
+            return PureClassDataset(examples, tokenizer, scramble=scramble,
+                                    decode=True, **common)
+        return PureClassDataset(examples, tokenizer, scramble=scramble,
+                                decode=decode, **common)
+    if task_type in ("sort", "pure_decode"):
+        return SortDataset(examples, tokenizer, scramble=scramble, **common)
+    if task_type in ("pretrain", "retrieve"):
+        return PretrainDataset(examples, tokenizer, scramble=False, **common)
+    raise NotImplementedError(f"task_type {task_type}")
+
+
+def build_model(cfg, args):
+    from ..models.sequencer import SequencingModel
+    from ..models.berson import BersonOrdering
+    from ..models.clip_visual import CLIPVisionConfig
+    vcfg = None
+    if cfg.multimodal:
+        vcfg = (CLIPVisionConfig.rn50(dtype=cfg.encoder.dtype)
+                if cfg.clip_model_name.startswith("RN")
+                else CLIPVisionConfig.vit_b32(dtype=cfg.encoder.dtype))
+        vcfg.image_resolution = args.vision_image_size
+    if args.wrapper_model_type == "berson":
+        return BersonOrdering(cfg, vcfg, beam_size=args.beam_size,
+                              pairwise_loss_lam=args.pairwise_loss_lam)
+    return SequencingModel(cfg, vcfg)
+
+
+def main_train(argv=None):
+    args = build_parser("train").parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    args.output_dir = resolve_output_dir(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+    cfg, tokenizer = build_config(args)
+    data_name, task_type = _parse_task(args)
+    if task_type == "hl_v1" and args.hierarchical_version == "v0":
+        args.hierarchical_version = "v1"
+        cfg.hierarchical_version = "v1"
+    examples = load_examples(args, data_name, task_type, args.train_split)
+    model = build_model(cfg, args)
+    dataset = make_dataset(args, cfg, tokenizer, task_type, examples)
+    from .loop import run_finetune
+    if args.wrapper_model_type == "berson":
+        state, steps = _run_berson_training(cfg, model, dataset, args,
+                                            tokenizer)
+    else:
+        state, steps = run_finetune(cfg, model, dataset, args,
+                                    tokenizer=tokenizer)
+    logger.info("training done at step %d; checkpoints in %s", steps,
+                args.output_dir)
+    return state
+
+
+def _run_berson_training(cfg, model, dataset, args, tokenizer):
+    """BERSON uses its own loss signature; reuse the loop via a wrapper
+    step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from .state import make_optimizer, TrainState
+    from .checkpoint import save_checkpoint
+    from .loop import MetricWriter
+    from ..data.datasets import data_loader
+    from ..parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    batch_size = args.per_gpu_train_batch_size * n_dev
+    steps_per_epoch = max(1, len(dataset) // batch_size)
+    total_steps = (args.max_steps if args.max_steps > 0
+                   else int(steps_per_epoch * args.num_train_epochs))
+    tx = make_optimizer(
+        learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+        total_steps=total_steps, weight_decay=args.weight_decay,
+        adam_epsilon=args.adam_epsilon, max_grad_norm=args.max_grad_norm,
+        grad_accum_steps=args.gradient_accumulation_steps)
+
+    sample = next(data_loader(dataset, batch_size))
+    init_batch = {k: jnp.asarray(v) for k, v in sample.items()
+                  if isinstance(v, np.ndarray) and v.dtype != object}
+    variables = dict(model.init(jax.random.PRNGKey(args.seed), init_batch))
+    params = variables.pop("params")
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), model_state=variables,
+                       tx=tx, apply_fn=model.apply)
+
+    @jax.jit
+    def step_fn(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        mutable = list(state.model_state.keys())
+
+        def loss_fn(p):
+            v = {"params": p, **state.model_state}
+            if mutable:
+                out, new_ms = state.apply_fn(
+                    v, batch, deterministic=False, rngs={"dropout": rng},
+                    mutable=mutable)
+            else:
+                out = state.apply_fn(v, batch, deterministic=False,
+                                     rngs={"dropout": rng})
+                new_ms = state.model_state
+            return out["loss"], (out, new_ms)
+
+        (loss, (out, new_ms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_ms), out
+
+    writer = MetricWriter(os.path.join(args.output_dir, "logs"))
+    rng = jax.random.PRNGKey(args.seed + 1)
+    global_step = 0
+    for epoch in range(max(1, int(args.num_train_epochs))):
+        for batch in data_loader(dataset, batch_size, shuffle=True,
+                                 seed=args.seed, epoch=epoch,
+                                 drop_last=True):
+            db = shard_batch({k: v for k, v in batch.items()
+                              if isinstance(v, np.ndarray)
+                              and v.dtype != object}, mesh)
+            state, out = step_fn(state, db, rng)
+            global_step += 1
+            if global_step % args.logging_steps == 0:
+                writer.scalar("train/loss", float(out["loss"]), global_step)
+                logger.info("step %d loss %.4f", global_step,
+                            float(out["loss"]))
+            if args.save_steps and global_step % args.save_steps == 0:
+                save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
+                                tokenizer=tokenizer,
+                                training_args=vars(args))
+            if global_step >= total_steps:
+                break
+        if global_step >= total_steps:
+            break
+    save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
+                    tokenizer=tokenizer, training_args=vars(args))
+    writer.close()
+    return state, global_step
+
+
+def main_pretrain(argv=None):
+    args = build_parser("pretrain").parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    args.output_dir = resolve_output_dir(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+    if args.task_type is None:
+        args.task_type = "pretrain"
+    cfg, tokenizer = build_config(args)
+    data_name = (args.data_names[0] if args.data_names else args.data_name)
+    if args.data_dirs and not args.data_dir:
+        args.data_dir = args.data_dirs[0]
+    examples = load_examples(args, data_name, "pretrain", args.train_split)
+    dataset = make_dataset(args, cfg, tokenizer, "pretrain", examples)
+    from ..models.pretrainer import SequencingPretrainer
+    from ..models.clip_visual import CLIPVisionConfig
+    vcfg = None
+    if cfg.multimodal:
+        vcfg = (CLIPVisionConfig.rn50(dtype=cfg.encoder.dtype)
+                if cfg.clip_model_name.startswith("RN")
+                else CLIPVisionConfig.vit_b32(dtype=cfg.encoder.dtype))
+        vcfg.image_resolution = args.vision_image_size
+    model = SequencingPretrainer(cfg, vcfg)
+    from .loop import run_pretraining
+    state, steps = run_pretraining(cfg, model, dataset, args,
+                                   tokenizer=tokenizer)
+    logger.info("pretraining done at step %d", steps)
+    return state
+
+
+def main_eval(argv=None):
+    args = build_parser("eval").parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    args.output_dir = resolve_output_dir(args)
+    cfg, tokenizer = build_config(args)
+    data_name, task_type = _parse_task(args)
+    from ..data.packing import StoryPacker
+    from ..data.datasets import SortDataset, data_loader
+    from .evaluation import SortEvaluator
+    from .checkpoint import restore_checkpoint
+
+    splits = args.data_splits or args.eval_splits
+    packer = StoryPacker(tokenizer, args.max_seq_length,
+                         args.per_seq_max_length)
+    evaluator = SortEvaluator(cfg, packer,
+                              micro_batch=args.per_gpu_eval_batch_size * 4)
+
+    models = {}
+    role_by_method = {
+        "topological": ["pairwise"],
+        "head_and_topological": ["head", "pairwise"],
+        "head_and_sequential": ["head", "pairwise"],
+        "head_and_sequential_abductive": ["head", "pairwise", "abductive"],
+        "pure_class": ["pure_class"],
+        "heat_map": ["heatmap"],
+        "berson": ["berson"],
+    }
+    roles = role_by_method[args.sort_method]
+    paths = [args.model_name_or_path_1 or args.model_name_or_path,
+             args.model_name_or_path_2, args.model_name_or_path_3]
+    for role, path in zip(roles, paths):
+        models[role] = load_model_for_eval(cfg, args, role, path)
+
+    results = {}
+    for split in splits:
+        examples = load_examples(args, data_name, "sort", split)
+        ds = SortDataset(examples, tokenizer, max_length=args.max_seq_length,
+                         per_seq_max_length=args.per_seq_max_length,
+                         max_story_length=args.max_story_length,
+                         min_story_length=args.min_story_length,
+                         seed=args.seed, multimodal=args.multimodal)
+        loader = data_loader(ds, args.per_gpu_eval_batch_size)
+        res = evaluator.evaluate(
+            loader, args.sort_method, models,
+            metrics=args.metrics, output_dir=args.output_dir,
+            data_split=split, max_batches=args.max_eval_steps, args_ns=args)
+        results[split] = res
+        logger.info("split %s: %s", split, res)
+    return results
+
+
+def load_model_for_eval(cfg, args, role: str, path: Optional[str]):
+    """Build a model for an eval role and restore its checkpoint (if path
+    points to one); fresh init otherwise (useful for tests)."""
+    import copy
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ..models.sequencer import SequencingModel
+    from ..models.berson import BersonOrdering
+    from .checkpoint import restore_checkpoint
+    from .state import make_optimizer, TrainState
+
+    role_cfg = copy.deepcopy(cfg)
+    if role == "pairwise" or role == "abductive":
+        role_cfg.hierarchical_version = "v0"
+        role_cfg.num_labels = 2
+    elif role == "head":
+        role_cfg.hierarchical_version = "v0"
+        role_cfg.num_labels = cfg.max_story_length
+    elif role == "pure_class":
+        role_cfg.hierarchical_version = "v0"
+        import math
+        role_cfg.num_labels = math.factorial(cfg.max_story_length)
+    elif role == "heatmap":
+        if role_cfg.hierarchical_version not in ("v1", "v2", "v3"):
+            role_cfg.hierarchical_version = "v1"
+
+    model = (build_model(role_cfg, args) if role == "berson"
+             else SequencingModel(role_cfg))
+    L = args.max_seq_length
+    ids = np.full((1, L), role_cfg.pad_id, np.int32)
+    ids[0, 0] = role_cfg.cls_id
+    if role == "berson":
+        from ..data.packing import StoryPacker
+        from ..data.tokenization import load_tokenizer
+        tok = load_tokenizer(args.tokenizer_name or args.model_name_or_path)
+        packer = StoryPacker(tok, L, args.per_seq_max_length)
+        item = packer.pack_berson_story(
+            ["a"] * cfg.max_story_length, list(range(cfg.max_story_length)))
+        init_batch = {k: jnp.asarray(v[None]) for k, v in item.items()}
+        variables = model.init(jax.random.PRNGKey(0), init_batch)
+    else:
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+    if path and os.path.isdir(path):
+        tx = make_optimizer()
+        variables = dict(variables)
+        params = variables.pop("params")
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params), model_state=variables,
+                           tx=tx, apply_fn=model.apply)
+        state = restore_checkpoint(path, state)
+        variables = {"params": state.params, **state.model_state}
+    return model, variables

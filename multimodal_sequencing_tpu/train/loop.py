@@ -1,0 +1,253 @@
+"""Training loops: finetune and pretraining drivers.
+
+Mirrors the reference loop semantics (`/root/reference/trainers/train.py:
+147-465`, `run_pretraining.py:107-370`): AdamW + linear warmup, gradient
+accumulation, clipping, eval-during-training with best-checkpoint tracking
+on acc_dev + pmr_dev, periodic checkpoints, scalar logging. The hot loop is
+one jitted fused step; data loading/masking/objective planning stay on host
+threads ahead of the device.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .state import make_train_state, make_optimizer
+from .steps import make_train_step, device_batch, eval_variables
+from .checkpoint import save_checkpoint
+from .mlm import mask_tokens_sentence
+from .objectives import plan_objective, choose_objective
+from ..data.datasets import data_loader
+from ..parallel.mesh import make_mesh, shard_batch
+
+logger = logging.getLogger(__name__)
+
+
+class MetricWriter:
+    """Scalar logger: JSONL always; TensorBoard if available."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._f = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir)
+        except Exception:
+            pass
+
+    def scalar(self, tag: str, value: float, step: int):
+        self._f.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def close(self):
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
+                 tokenizer=None, mesh=None, dev_dataset=None):
+    """Generic finetune loop for SequencingModel heads.
+
+    args needs: per_gpu_train_batch_size, learning_rate, weight_decay,
+    adam_epsilon, max_grad_norm, num_train_epochs, max_steps, warmup_steps,
+    gradient_accumulation_steps, logging_steps, save_steps, seed,
+    output_dir, evaluate_during_training.
+    """
+    mesh = mesh or make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    batch_size = args.per_gpu_train_batch_size * n_dev
+    steps_per_epoch = max(1, len(train_dataset) // batch_size)
+    if getattr(args, "max_steps", 0) and args.max_steps > 0:
+        total_steps = args.max_steps
+        epochs = max(1, total_steps // steps_per_epoch + 1)
+    else:
+        epochs = int(args.num_train_epochs)
+        total_steps = steps_per_epoch * epochs
+
+    tx = make_optimizer(
+        learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+        total_steps=total_steps, weight_decay=args.weight_decay,
+        adam_epsilon=args.adam_epsilon, max_grad_norm=args.max_grad_norm,
+        grad_accum_steps=args.gradient_accumulation_steps)
+
+    sample = next(data_loader(train_dataset, batch_size))
+    state = make_train_state(model, jax.random.PRNGKey(args.seed),
+                             device_batch(sample), tx=tx)
+    step_fn = make_train_step(cfg, mesh)
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    writer = MetricWriter(os.path.join(args.output_dir, "logs"))
+    best_score = -np.inf
+    global_step = 0
+    t0 = time.time()
+    for epoch in range(epochs):
+        for batch in data_loader(train_dataset, batch_size, shuffle=True,
+                                 seed=args.seed, epoch=epoch):
+            db = shard_batch(device_batch(batch), mesh)
+            state, metrics = step_fn(state, db, rng)
+            global_step += 1
+            if global_step % args.logging_steps == 0:
+                loss = float(metrics["loss"])
+                writer.scalar("train/loss", loss, global_step)
+                writer.scalar("train/steps_per_sec",
+                              global_step / (time.time() - t0), global_step)
+                logger.info("step %d loss %.4f", global_step, loss)
+            if args.save_steps and global_step % args.save_steps == 0:
+                save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
+                                tokenizer=tokenizer,
+                                training_args=vars(args))
+            if (getattr(args, "evaluate_during_training", False)
+                    and eval_fn is not None and args.save_steps
+                    and global_step % args.save_steps == 0):
+                res = eval_fn(state)
+                for k, v in res.items():
+                    writer.scalar(f"eval/{k}", v, global_step)
+                # best checkpoint on acc + pmr (`train.py:389-422`)
+                score = res.get("partial_match", 0) + res.get(
+                    "exact_match", 0)
+                if score > best_score:
+                    best_score = score
+                    save_checkpoint(args.output_dir, global_step, state,
+                                    cfg=cfg, tokenizer=tokenizer,
+                                    training_args=vars(args), name="best")
+            if global_step >= total_steps:
+                break
+        if global_step >= total_steps:
+            break
+    save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
+                    tokenizer=tokenizer, training_args=vars(args))
+    writer.close()
+    return state, global_step
+
+
+def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
+                    mesh=None):
+    """Pretraining loop: per-batch host MLM masking + one random objective
+    (`run_pretraining.py:107-370`, `modeling.py:1817-1818`). One jit
+    specialization per objective signature."""
+    import optax
+    from .state import TrainState
+
+    mesh = mesh or make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    batch_size = args.per_gpu_train_batch_size * n_dev
+    steps_per_epoch = max(1, len(train_dataset) // batch_size)
+    epochs = int(args.num_train_epochs)
+    total_steps = (args.max_steps if getattr(args, "max_steps", 0) > 0
+                   else steps_per_epoch * epochs)
+
+    # "no_mlm" in the objective list disables the MLM loss (reference flag);
+    # with no objectives at all we run MLM-only pretraining
+    objectives = list(cfg.multimodal_pretrain_objectives)
+    use_mlm = "no_mlm" not in objectives
+    objectives = [o for o in objectives if o not in ("no_mlm", "visual_mlm")]
+    if not objectives:
+        objectives = ["mlm_only"]
+
+    tx = make_optimizer(
+        learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
+        total_steps=total_steps, weight_decay=args.weight_decay,
+        adam_epsilon=args.adam_epsilon, max_grad_norm=args.max_grad_norm,
+        grad_accum_steps=args.gradient_accumulation_steps)
+
+    host_rng = np.random.default_rng(args.seed)
+
+    def prepare(batch, objective):
+        batch = {k: np.asarray(v) for k, v in batch.items()
+                 if k in ("input_ids", "attention_mask", "token_type_ids",
+                          "images")}
+        masked, labels = mask_tokens_sentence(
+            batch["input_ids"], mlm_probability=args.mlm_probability,
+            pad_id=cfg.pad_id, cls_id=cfg.cls_id, mask_id=cfg.mask_id,
+            vocab_size=cfg.encoder.vocab_size,
+            ignore_index=cfg.mlm_ignore_index, rng=host_rng)
+        batch["input_ids"] = masked
+        batch["mlm_labels"] = labels
+        nb, aux = plan_objective(objective, batch, cfg, host_rng)
+        aux = {k: v for k, v in aux.items()
+               if isinstance(v, np.ndarray) and v.ndim > 0}
+        return nb, aux
+
+    sample = next(data_loader(train_dataset, batch_size))
+    nb0, aux0 = prepare(sample, objectives[0])
+    variables = dict(model.init(jax.random.PRNGKey(args.seed),
+                                {k: jnp.asarray(v) for k, v in nb0.items()},
+                                objectives[0],
+                                {k: jnp.asarray(v) for k, v in aux0.items()}))
+    params = variables.pop("params")
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), model_state=variables,
+                       tx=tx, apply_fn=model.apply)
+
+    step_cache: Dict[str, Callable] = {}
+
+    def get_step(objective):
+        if objective not in step_cache:
+            def step(state, batch, aux, rng):
+                rng = jax.random.fold_in(rng, state.step)
+                mutable = list(state.model_state.keys())
+
+                def loss_fn(p):
+                    v = {"params": p, **state.model_state}
+                    if mutable:
+                        losses, new_ms = state.apply_fn(
+                            v, batch, objective, aux, deterministic=False,
+                            use_mlm=use_mlm,
+                            rngs={"dropout": rng}, mutable=mutable)
+                    else:
+                        losses = state.apply_fn(
+                            v, batch, objective, aux, deterministic=False,
+                            use_mlm=use_mlm,
+                            rngs={"dropout": rng})
+                        new_ms = state.model_state
+                    return losses["loss"], (losses, new_ms)
+
+                (loss, (losses, new_ms)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                return state.apply_gradients(grads, new_ms), losses
+            step_cache[objective] = jax.jit(step)
+        return step_cache[objective]
+
+    writer = MetricWriter(os.path.join(args.output_dir, "logs"))
+    rng = jax.random.PRNGKey(args.seed + 1)
+    global_step = 0
+    for epoch in range(max(1, epochs)):
+        for batch in data_loader(train_dataset, batch_size, shuffle=True,
+                                 seed=args.seed, epoch=epoch,
+                                 drop_last=True):
+            objective = choose_objective(objectives, host_rng)
+            nb, aux = prepare(batch, objective)
+            nbj = {k: jnp.asarray(v) for k, v in nb.items()}
+            auxj = {k: jnp.asarray(v) for k, v in aux.items()}
+            state, losses = get_step(objective)(state, nbj, auxj, rng)
+            global_step += 1
+            if global_step % args.logging_steps == 0:
+                for k, v in losses.items():
+                    writer.scalar(f"pretrain/{k}", float(v), global_step)
+                logger.info("step %d obj %s loss %.4f", global_step,
+                            objective, float(losses["loss"]))
+            if args.save_steps and global_step % args.save_steps == 0:
+                save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
+                                tokenizer=tokenizer,
+                                training_args=vars(args))
+            if global_step >= total_steps:
+                break
+        if global_step >= total_steps:
+            break
+    save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
+                    tokenizer=tokenizer, training_args=vars(args))
+    writer.close()
+    return state, global_step

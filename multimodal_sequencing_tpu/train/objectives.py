@@ -279,7 +279,7 @@ def plan_objective(objective: str, batch: Dict[str, np.ndarray], cfg,
         batch.update(lang)
         aux["objective_labels"] = (~flags).astype(np.int32)
 
-    elif objective in ("no_mlm", "visual_mlm"):
+    elif objective in ("no_mlm", "visual_mlm", "mlm_only"):
         pass  # flags handled by the caller (mlm on/off)
 
     else:

@@ -1,0 +1,124 @@
+"""End-to-end CLI tests: train -> checkpoint -> eval on the synthetic
+fixture with the tiny model size."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multimodal_sequencing_tpu.train.cli import (
+    build_parser, main_train, main_eval, main_pretrain, build_config)
+from multimodal_sequencing_tpu.train.checkpoint import (
+    save_checkpoint, restore_checkpoint, find_checkpoints,
+    parse_step_from_name)
+
+
+def _common(wikihow_dir, tmp, extra):
+    return [
+        "--model_name_or_path", "simple", "--model_size", "tiny",
+        "--data_dir", wikihow_dir, "--data_name", "wikihow",
+        "--max_seq_length", "96", "--per_seq_max_length", "12",
+        "--per_gpu_train_batch_size", "8", "--per_gpu_eval_batch_size", "4",
+        "--learning_rate", "1e-3", "--num_train_epochs", "2",
+        "--warmup_steps", "1", "--logging_steps", "1",
+        "--save_steps", "0", "--seed", "0",
+        "--output_dir", tmp,
+    ] + extra
+
+
+def test_flag_surface_accepts_reference_invocation():
+    # the wikihow_finetune.sh flag set must parse
+    p = build_parser()
+    args = p.parse_args([
+        "--model_name_or_path", "x", "--config_name", "roberta-large",
+        "--tokenizer_name", "roberta-large", "--do_not_load_optimizer",
+        "--do_train", "--do_eval", "--evaluate_during_training",
+        "--per_gpu_train_batch_size", "1", "--per_gpu_eval_batch_size", "1",
+        "--learning_rate", "5e-6", "--num_train_epochs", "4.0",
+        "--max_seq_length", "300", "--per_seq_max_length", "60",
+        "--data_dir", "data/wikihow", "--output_root", "root",
+        "--output_dir", "name", "--task_name", "wikihow_hl_v1",
+        "--order_criteria", "loose", "--overwrite_output_dir",
+        "--multimodal", "--multimodal_model_type", "clip",
+        "--vision_model", "resnet50", "--wrapper_model_type", "berson",
+        "--save_steps", "2000", "--logging_steps", "250",
+        "--max_eval_steps", "1000", "--iters_to_eval", "50000",
+        "--iters_to_eval", "best", "--warmup_steps", "100",
+        "--train_split", "train-acl22",
+        "--eval_splits", "test-acl22_human",
+    ])
+    assert args.task_name == "wikihow_hl_v1"
+    assert args.iters_to_eval == ["50000", "best"]
+    assert args.train_split == "train-acl22"
+
+
+def test_train_heatmap_then_eval(wikihow_dir, tmp_path):
+    out = str(tmp_path / "run")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1",
+    ]))
+    assert state is not None
+    ckpts = find_checkpoints(out)
+    assert len(ckpts) >= 1
+    assert parse_step_from_name(ckpts[0]) > 0
+
+    results = main_eval(_common(wikihow_dir, out, [
+        "--task_name", "wikihow_sort", "--sort_method", "heat_map",
+        "--model_name_or_path_1", ckpts[-1],
+        "--eval_splits", "dev",
+    ]))
+    res = results["dev"]
+    assert set(res) >= {"partial_match", "exact_match", "tau"}
+    assert os.path.exists(os.path.join(out, "output_order.txt"))
+    assert os.path.exists(os.path.join(out, "all_predictions.csv"))
+    assert os.path.exists(os.path.join(out, "eval_results_split_dev.txt"))
+
+
+def test_eval_topological_fresh_models(wikihow_dir, tmp_path):
+    out = str(tmp_path / "evalrun")
+    results = main_eval(_common(wikihow_dir, out, [
+        "--task_name", "wikihow_sort", "--sort_method", "topological",
+        "--eval_splits", "dev", "--max_eval_steps", "1",
+    ]))
+    assert "dev" in results
+    assert 0.0 <= results["dev"]["partial_match"] <= 1.0
+
+
+def test_pretrain_text_only(wikihow_dir, tmp_path):
+    out = str(tmp_path / "pre")
+    state = main_pretrain(_common(wikihow_dir, out, [
+        "--do_train", "--task_type", "pretrain",
+        "--train_split", "train", "--mlm_probability", "0.15",
+        "--max_steps", "2",
+    ]))
+    assert state is not None
+    assert find_checkpoints(out)
+
+
+def test_checkpoint_roundtrip(wikihow_dir, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from multimodal_sequencing_tpu.models.config import (
+        EncoderConfig, MultimodalConfig)
+    from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+    from multimodal_sequencing_tpu.train.state import (
+        make_train_state, make_optimizer)
+    cfg = MultimodalConfig(encoder=EncoderConfig.tiny(),
+                           max_seq_length=32, per_seq_max_length=8)
+    model = SequencingModel(cfg)
+    batch = {"input_ids": np.zeros((2, 32), np.int32),
+             "attention_mask": np.ones((2, 32), np.int32),
+             "token_type_ids": np.zeros((2, 32), np.int32)}
+    state = make_train_state(model, jax.random.PRNGKey(0), batch,
+                             tx=make_optimizer())
+    d = save_checkpoint(str(tmp_path), 7, state, cfg=cfg)
+    assert d.endswith("checkpoint-7")
+    state2 = make_train_state(model, jax.random.PRNGKey(1), batch,
+                              tx=make_optimizer())
+    state2 = restore_checkpoint(d, state2)
+    l1 = jax.tree.leaves(state.params)
+    l2 = jax.tree.leaves(state2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
