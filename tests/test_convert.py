@@ -1,0 +1,197 @@
+"""Forward-parity tests: HF torch encoder vs converted flax TextEncoder,
+CLIP torch towers vs converted flax towers (random-initialized tiny
+configs; no downloads)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_sequencing_tpu.models.config import EncoderConfig
+from multimodal_sequencing_tpu.models.encoder import TextEncoder
+from multimodal_sequencing_tpu.models.convert import (
+    convert_hf_text_encoder, strip_prefixes, resize_token_type_embeddings,
+    convert_clip_vit, filter_visual_state_dict)
+
+
+def test_hf_bert_forward_parity():
+    from transformers import BertConfig, BertModel
+    hf_cfg = BertConfig(
+        vocab_size=200, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(0)
+    hf = BertModel(hf_cfg).eval()
+
+    cfg = EncoderConfig(
+        vocab_size=200, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2,
+        layer_norm_eps=1e-12, pad_token_id=0, position_offset=0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        dtype="float32")
+    params = convert_hf_text_encoder(hf.state_dict(), cfg.num_hidden_layers)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(1, 200, (2, 16))
+    mask = np.ones((2, 16), np.int64)
+    mask[:, 12:] = 0
+    types = rng.randint(0, 2, (2, 16))
+
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask),
+                 token_type_ids=torch.tensor(types))
+    model = TextEncoder(cfg)
+    seq, pooled = model.apply({"params": params}, jnp.asarray(ids),
+                              jnp.asarray(mask), jnp.asarray(types))
+    np.testing.assert_allclose(
+        np.asarray(seq)[:, :12], out.last_hidden_state.numpy()[:, :12],
+        atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(pooled), out.pooler_output.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_hf_roberta_forward_parity():
+    from transformers import RobertaConfig, RobertaModel
+    hf_cfg = RobertaConfig(
+        vocab_size=300, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=70, type_vocab_size=1, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    torch.manual_seed(1)
+    hf = RobertaModel(hf_cfg).eval()
+    cfg = EncoderConfig(
+        vocab_size=300, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=70, type_vocab_size=1,
+        layer_norm_eps=1e-12, pad_token_id=1, position_offset=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        dtype="float32")
+    params = convert_hf_text_encoder(hf.state_dict(), 2)
+
+    rng = np.random.RandomState(2)
+    ids = rng.randint(3, 300, (2, 20))
+    mask = np.ones((2, 20), np.int64)
+    with torch.no_grad():
+        out = hf(input_ids=torch.tensor(ids),
+                 attention_mask=torch.tensor(mask))
+    model = TextEncoder(cfg)
+    seq, _ = model.apply({"params": params}, jnp.asarray(ids),
+                         jnp.asarray(mask),
+                         jnp.zeros_like(jnp.asarray(ids)))
+    np.testing.assert_allclose(np.asarray(seq),
+                               out.last_hidden_state.numpy(),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_strip_prefixes_and_resize_types():
+    sd = {"roberta.embeddings.word_embeddings.weight": np.zeros((4, 2)),
+          "bert.pooler.dense.weight": np.zeros((2, 2)),
+          "plain": np.zeros(1)}
+    out = strip_prefixes(sd)
+    assert "embeddings.word_embeddings.weight" in out
+    assert "pooler.dense.weight" in out and "plain" in out
+
+    params = {"embeddings": {"token_type_embeddings": {
+        "embedding": np.arange(6).reshape(2, 3)}}}
+    grown = resize_token_type_embeddings(params, 5)
+    table = grown["embeddings"]["token_type_embeddings"]["embedding"]
+    assert table.shape == (5, 3)
+    np.testing.assert_array_equal(table[0], table[2])
+
+
+def test_clip_vit_conversion_parity():
+    """Torch reference ViT block vs converted flax ViTBlock on one layer."""
+    from multimodal_sequencing_tpu.models.clip_visual import (
+        CLIPVisionConfig, VisualTransformer)
+    width, heads, patch, res = 32, 4, 8, 32
+    torch.manual_seed(3)
+    sd = {}
+    sd["conv1.weight"] = torch.randn(width, 3, patch, patch) * 0.02
+    sd["class_embedding"] = torch.randn(width) * 0.02
+    n_patch = (res // patch) ** 2
+    sd["positional_embedding"] = torch.randn(n_patch + 1, width) * 0.02
+    for ln in ("ln_pre", "ln_post"):
+        sd[f"{ln}.weight"] = torch.ones(width)
+        sd[f"{ln}.bias"] = torch.zeros(width)
+    sd["proj"] = torch.randn(width, 16) * 0.02
+    for i in range(2):
+        p = f"transformer.resblocks.{i}"
+        sd[f"{p}.ln_1.weight"] = torch.ones(width)
+        sd[f"{p}.ln_1.bias"] = torch.zeros(width)
+        sd[f"{p}.ln_2.weight"] = torch.ones(width)
+        sd[f"{p}.ln_2.bias"] = torch.zeros(width)
+        sd[f"{p}.attn.in_proj_weight"] = torch.randn(3 * width, width) * 0.02
+        sd[f"{p}.attn.in_proj_bias"] = torch.zeros(3 * width)
+        sd[f"{p}.attn.out_proj.weight"] = torch.randn(width, width) * 0.02
+        sd[f"{p}.attn.out_proj.bias"] = torch.zeros(width)
+        sd[f"{p}.mlp.c_fc.weight"] = torch.randn(4 * width, width) * 0.02
+        sd[f"{p}.mlp.c_fc.bias"] = torch.zeros(4 * width)
+        sd[f"{p}.mlp.c_proj.weight"] = torch.randn(width, 4 * width) * 0.02
+        sd[f"{p}.mlp.c_proj.bias"] = torch.zeros(width)
+
+    params = convert_clip_vit(sd)
+    cfg = CLIPVisionConfig(model_name="ViT-B/32", image_resolution=res,
+                           patch_size=patch, vit_layers=2, vit_width=width,
+                           vit_heads=heads, output_dim=16)
+    vit = VisualTransformer(cfg)
+    imgs = jnp.asarray(np.random.RandomState(0).randn(2, res, res, 3),
+                       jnp.float32)
+    out = vit.apply({"params": params["vit"]}, imgs, img_len=1)
+    assert out.shape == (2, n_patch + 1, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # parity of the patch-embed + pos-embed + first block against torch
+    x = torch.nn.functional.conv2d(
+        torch.tensor(np.asarray(imgs).transpose(0, 3, 1, 2)),
+        sd["conv1.weight"], stride=patch)
+    x = x.reshape(2, width, -1).permute(0, 2, 1)
+    x = torch.cat([sd["class_embedding"].expand(2, 1, width), x], dim=1)
+    x = x + sd["positional_embedding"]
+    x = torch.nn.functional.layer_norm(x, (width,), sd["ln_pre.weight"],
+                                       sd["ln_pre.bias"], eps=1e-5)
+    # torch MHA forward for block 0
+    h = torch.nn.functional.layer_norm(
+        x, (width,), sd["transformer.resblocks.0.ln_1.weight"],
+        sd["transformer.resblocks.0.ln_1.bias"], eps=1e-5)
+    attn_out, _ = torch.nn.functional.multi_head_attention_forward(
+        h.transpose(0, 1), h.transpose(0, 1), h.transpose(0, 1), width,
+        heads, sd["transformer.resblocks.0.attn.in_proj_weight"],
+        sd["transformer.resblocks.0.attn.in_proj_bias"], None, None, False,
+        0.0, sd["transformer.resblocks.0.attn.out_proj.weight"],
+        sd["transformer.resblocks.0.attn.out_proj.bias"],
+        need_weights=False)
+    x_t = x + attn_out.transpose(0, 1)
+    from multimodal_sequencing_tpu.models.clip_visual import ViTBlock
+    block = ViTBlock(width, heads)
+    bp = params["vit"]["resblock_0"]
+    x_f_in = np.asarray(
+        jnp.asarray(x.detach().numpy()))
+    # run flax block attention-half only by comparing full block vs torch
+    # full block:
+    h2 = torch.nn.functional.layer_norm(
+        x_t, (width,), sd["transformer.resblocks.0.ln_2.weight"],
+        sd["transformer.resblocks.0.ln_2.bias"], eps=1e-5)
+    m = torch.nn.functional.linear(
+        h2, sd["transformer.resblocks.0.mlp.c_fc.weight"],
+        sd["transformer.resblocks.0.mlp.c_fc.bias"])
+    m = m * torch.sigmoid(1.702 * m)
+    m = torch.nn.functional.linear(
+        m, sd["transformer.resblocks.0.mlp.c_proj.weight"],
+        sd["transformer.resblocks.0.mlp.c_proj.bias"])
+    x_torch = (x_t + m).detach().numpy()
+    x_flax = block.apply({"params": bp}, jnp.asarray(x_f_in))
+    np.testing.assert_allclose(np.asarray(x_flax), x_torch, atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_filter_visual_state_dict():
+    sd = {"visual.conv1.weight": 1, "transformer.x": 2,
+          "model.visual.ln_pre.weight": 3}
+    out = filter_visual_state_dict(sd)
+    assert out == {"conv1.weight": 1, "ln_pre.weight": 3}
