@@ -1,0 +1,74 @@
+"""Naive multimodal model: image features appended as extra tokens.
+
+TPU-native rebuild of `NaiveMultimodalModel`
+(`/root/reference/models/naive_model.py:27-115`): per-step images run
+through a ResNet backbone (fc removed), project to hidden size with
+Linear+ReLU, and are concatenated AFTER the text token embeddings as extra
+input embeddings; the attention mask is extended with ones. The combined
+stream runs through the standard text encoder.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .config import MultimodalConfig
+from .encoder import Embeddings, TransformerLayer, attention_bias_from_mask
+from .resnet import ResNetBackbone, resnet_feature_dim
+from .heads import ClassificationHead
+
+
+class NaiveMultimodalModel(nn.Module):
+    cfg: MultimodalConfig
+    vision_name: str = "resnet50"
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 images=None, deterministic: bool = True):
+        cfg = self.cfg
+        ecfg = cfg.encoder
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if cfg.multimodal_img_part:
+            input_ids = jnp.zeros_like(input_ids[:, :1])
+            attention_mask = jnp.zeros_like(attention_mask[:, :1])
+            token_type_ids = None
+
+        embeds = Embeddings(ecfg, name="embeddings")(
+            input_ids, token_type_ids, deterministic=deterministic)
+
+        if images is not None:
+            b, n = images.shape[:2]
+            nhwc = jnp.transpose(
+                images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))
+            feats = ResNetBackbone(self.vision_name,
+                                   dtype=ecfg.compute_dtype,
+                                   name="vision_model")(
+                nhwc, deterministic=deterministic)
+            if cfg.freeze_vision_model:
+                feats = jax.lax.stop_gradient(feats)
+            proj = nn.Dense(ecfg.hidden_size, dtype=ecfg.compute_dtype,
+                            name="img_project")(feats)
+            proj = nn.relu(proj).reshape(b, n, ecfg.hidden_size)
+            embeds = jnp.concatenate([embeds, proj], axis=1)
+            attention_mask = jnp.concatenate(
+                [attention_mask,
+                 jnp.ones((b, n), attention_mask.dtype)], axis=1)
+
+        bias = attention_bias_from_mask(attention_mask, ecfg.compute_dtype)
+        x = embeds
+        for i in range(ecfg.num_hidden_layers):
+            x = TransformerLayer(ecfg, name=f"layer_{i}")(
+                x, bias, deterministic)
+        pooled = nn.tanh(nn.Dense(ecfg.hidden_size, dtype=ecfg.compute_dtype,
+                                  name="pooler")(x[:, 0]))
+        logits = ClassificationHead(
+            num_labels=cfg.num_labels, hidden_size=ecfg.hidden_size,
+            dropout=ecfg.hidden_dropout_prob, dtype=ecfg.compute_dtype,
+            name="cls_head")(pooled, deterministic)
+        return {"sequence_output": x, "pooled_output": pooled,
+                "logits": logits.astype(jnp.float32)}

@@ -1,0 +1,82 @@
+"""ResNet backbone, naive multimodal model, device preprocessing tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_sequencing_tpu.models.resnet import (
+    ResNetBackbone, convert_torchvision_resnet, resnet_feature_dim)
+from multimodal_sequencing_tpu.models.naive_model import NaiveMultimodalModel
+from multimodal_sequencing_tpu.models.config import (
+    EncoderConfig, MultimodalConfig)
+from multimodal_sequencing_tpu.ops.preprocess import preprocess_uint8_images
+from multimodal_sequencing_tpu.data.images import (
+    load_and_transform, IMAGENET_MEAN, IMAGENET_STD)
+
+
+def test_resnet18_shapes():
+    model = ResNetBackbone("resnet18")
+    x = jnp.zeros((2, 64, 64, 3))
+    vars_ = model.init(jax.random.PRNGKey(0), x)
+    out, _ = model.apply(vars_, x, mutable=["batch_stats"])
+    assert out.shape == (2, 512)
+    grid, _ = model.apply(vars_, x, pool=False, mutable=["batch_stats"])
+    assert grid.shape == (2, 2, 2, 512)
+
+
+def test_torchvision_resnet18_parity():
+    torch = pytest.importorskip("torch")
+    try:
+        from torchvision.models import resnet18
+        net = resnet18(weights=None)
+    except ImportError:
+        # build an equivalent torch resnet18 via torch.hub source? skip
+        pytest.skip("torchvision unavailable")
+    net.eval()
+    params, stats = convert_torchvision_resnet(net.state_dict(), "resnet18")
+    x = np.random.RandomState(0).randn(1, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = net.avgpool(net.layer4(net.layer3(net.layer2(net.layer1(
+            net.maxpool(net.relu(net.bn1(net.conv1(
+                torch.tensor(x.transpose(0, 3, 1, 2)))))))))))
+        ref = ref.flatten(1).numpy()
+    model = ResNetBackbone("resnet18")
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x), deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=1e-2)
+
+
+def test_naive_model_forward():
+    enc = EncoderConfig.tiny(max_position_embeddings=100)
+    cfg = MultimodalConfig(encoder=enc, multimodal=True,
+                           multimodal_model_type="naive",
+                           max_story_length=3, num_labels=3,
+                           image_size=(32, 32))
+    model = NaiveMultimodalModel(cfg, vision_name="resnet18")
+    rng = np.random.RandomState(0)
+    ids = rng.randint(5, 1000, (2, 24)).astype(np.int32)
+    imgs = rng.randn(2, 3, 3, 32, 32).astype(np.float32)
+    vars_ = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                       images=jnp.asarray(imgs))
+    out, _ = model.apply(vars_, jnp.asarray(ids), images=jnp.asarray(imgs),
+                         mutable=["batch_stats"])
+    assert out["logits"].shape == (2, 3)
+    # sequence gains 3 image tokens
+    assert out["sequence_output"].shape[1] == 24 + 3
+
+
+def test_device_preprocess_matches_host():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (48, 40, 3), dtype=np.uint8)
+    # host path via PIL/cv2 (area/bilinear interpolation differs slightly;
+    # compare the normalize math on an identity-resize image)
+    img224 = np.repeat(np.repeat(img[:32, :32], 1, 0), 1, 1)
+    dev = preprocess_uint8_images(jnp.asarray(img224[None]), size=(32, 32))
+    host = ((img224.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+            / IMAGENET_STD).transpose(2, 0, 1)
+    np.testing.assert_allclose(np.asarray(dev[0]), host, atol=1e-5)
+    # arbitrary resize runs and is finite
+    out = preprocess_uint8_images(jnp.asarray(img[None]), size=(16, 16))
+    assert out.shape == (1, 3, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
