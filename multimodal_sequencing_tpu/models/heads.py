@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .config import MultimodalConfig
@@ -67,6 +68,62 @@ class ClassificationHead(nn.Module):
 
 
 PairwiseHead = ClassificationHead
+
+
+class SimpleClassifier(nn.Module):
+    """Dense -> gelu -> dropout -> Dense (`models/pointer_module.py:579`)."""
+    hidden_size: int
+    out_size: int
+    dropout: float = 0.5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.out_size, dtype=self.dtype, name="fc2")(x)
+
+
+class AuxObjectiveHeads(nn.Module):
+    """Registry of `hl_include_objectives` auxiliary heads
+    (`models/pointer_module.py:69-134,381-527`):
+      head      per-step scalar scores -> CE vs true-first step (label[:,0])
+      binary    per (i<j) pair, stacked scalar scores of the two step CLS
+                reprs -> 2-way CE on which precedes
+      itm       2-way classifier on pooled output vs swap targets (x0.1)
+      mlm       masked-LM loss over language outputs (x0.05)
+    mlm_wo_loss is a no-op; binary_cross_modal / cross_modal_dependence
+    raise NotImplementedError in the reference and are likewise out of
+    scope."""
+    cfg: MultimodalConfig
+
+    @nn.compact
+    def __call__(self, step_reprs, present, pooled, deterministic=True):
+        cfg = self.cfg
+        objs = cfg.hl_include_objectives or []
+        h = step_reprs.shape[-1]
+        out = {}
+        if "head" in objs:
+            scores = SimpleClassifier(h, 1, dtype=step_reprs.dtype,
+                                      name="hl_head_pred_layer")(
+                step_reprs, deterministic)[..., 0]
+            out["head_logits"] = jnp.where(present, scores, NEG_INF).astype(
+                jnp.float32)
+        if "binary" in objs or "pairwise" in objs:
+            n = step_reprs.shape[1]
+            iu, ju = np.triu_indices(n, k=1)
+            scorer = SimpleClassifier(h, 1, dtype=step_reprs.dtype,
+                                      name="hl_bin_pred_layer")
+            s = scorer(step_reprs, deterministic)[..., 0]  # (B, N)
+            # logits per pair = (score_j, score_i): class 1 <=> i precedes j
+            out["bin_logits"] = jnp.stack(
+                [s[:, ju], s[:, iu]], axis=-1).astype(jnp.float32)
+            out["bin_pairs"] = (iu, ju)
+        if "itm" in objs:
+            out["itm_logits"] = nn.Dense(
+                2, name="seq_relationship")(pooled).astype(jnp.float32)
+        return out
 
 
 class HeatmapHead(nn.Module):

@@ -28,7 +28,8 @@ from .encoder import TextEncoder
 from .multimodal_encoder import MultimodalEncoder
 from .clip_visual import CLIPVisionConfig
 from .heads import (
-    ClassificationHead, HeatmapHead, PointerHead, gather_step_cls)
+    ClassificationHead, HeatmapHead, PointerHead, AuxObjectiveHeads,
+    gather_step_cls)
 
 
 class SequencingModel(nn.Module):
@@ -55,6 +56,15 @@ class SequencingModel(nn.Module):
             self.head = PointerHead(cfg, name="pointer_head")
         else:
             raise ValueError(f"unknown hierarchical_version {v}")
+        aux_objs = set(cfg.hl_include_objectives or [])
+        self.aux_heads = (
+            AuxObjectiveHeads(cfg, name="aux_heads")
+            if aux_objs & {"head", "binary", "pairwise", "itm"} else None)
+        if "mlm" in aux_objs:
+            from .pretrainer import MLMHead
+            self.aux_mlm_head = MLMHead(
+                cfg.encoder.hidden_size, cfg.encoder.vocab_size,
+                cfg.encoder.compute_dtype, name="aux_mlm_head")
 
     def encode(self, input_ids, attention_mask=None, token_type_ids=None,
                images=None, deterministic: bool = True):
@@ -88,6 +98,14 @@ class SequencingModel(nn.Module):
                 out["pointer_logits"] = self.head(
                     reprs, present, order_labels, deterministic).astype(
                         jnp.float32)
+            if self.aux_heads is not None:
+                out.update(self.aux_heads(reprs, present, pooled,
+                                          deterministic))
+            if "mlm" in (cfg.hl_include_objectives or []):
+                word_emb = self.get_variable(
+                    "params", "encoder")["embeddings"]["word_embeddings"][
+                        "embedding"]
+                out["mlm_logits"] = self.aux_mlm_head(seq, word_emb)
         return out
 
 

@@ -93,9 +93,26 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     best_score = -np.inf
     global_step = 0
     t0 = time.time()
+    aux_objs = set(cfg.hl_include_objectives or [])
+    host_rng = np.random.default_rng(args.seed + 7)
     for epoch in range(epochs):
         for batch in data_loader(train_dataset, batch_size, shuffle=True,
                                  seed=args.seed, epoch=epoch):
+            # host-side aux-objective surgery (`train.py:298-304`, itm swap)
+            if "mlm" in aux_objs:
+                masked, mlabels = mask_tokens_sentence(
+                    np.asarray(batch["input_ids"]),
+                    mlm_probability=cfg.mlm_probability,
+                    pad_id=cfg.pad_id, cls_id=cfg.cls_id,
+                    mask_id=cfg.mask_id,
+                    vocab_size=cfg.encoder.vocab_size,
+                    ignore_index=cfg.mlm_ignore_index, rng=host_rng)
+                batch["input_ids"] = masked
+                batch["mlm_labels"] = mlabels
+            if "itm" in aux_objs and "images" in batch:
+                from .objectives import plan_itm_swap
+                batch["images"], batch["itm_targets"] = plan_itm_swap(
+                    np.asarray(batch["images"]), host_rng)
             db = shard_batch(device_batch(batch), mesh)
             state, metrics = step_fn(state, db, rng)
             global_step += 1

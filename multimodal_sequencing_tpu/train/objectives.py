@@ -296,3 +296,20 @@ def plan_objective(objective: str, batch: Dict[str, np.ndarray], cfg,
 def choose_objective(objectives, rng: np.random.Generator) -> str:
     """One objective per batch, uniformly (`modeling.py:1817-1818`)."""
     return str(rng.choice(list(objectives)))
+
+
+def plan_itm_swap(images: np.ndarray, rng: np.random.Generator):
+    """Swapping-based ITM (`models/visualbert/visual_bert_mmf.py:627-694`):
+    with p=0.5 replace one step image with the same-position image of the
+    neighboring sample; label 1 = intact, 0 = swapped. Returns
+    (new_images, targets)."""
+    b, n = images.shape[:2]
+    out = images.copy()
+    targets = np.ones(b, np.int32)
+    for i in range(b):
+        if rng.random() > 0.5 and b > 1:
+            neighbor = (i + 1) % b
+            s = int(rng.integers(n))
+            out[i, s] = images[neighbor, s]
+            targets[i] = 0
+    return out, targets

@@ -53,6 +53,8 @@ def compute_loss(cfg, outputs: dict, batch: dict) -> tuple:
         if "heatmap_pairwise_ranking" in cfg.hl_include_objectives:
             loss = loss + HeatmapHead.pairwise_ranking_loss(
                 heatmap, order_labels, present)
+        loss = loss + _aux_losses(cfg, outputs, batch, order_labels,
+                                  metrics)
     elif v in ("p0", "p1"):
         logits = outputs["pointer_logits"]
         order_labels = batch["labels"].astype(jnp.int32)
@@ -60,10 +62,51 @@ def compute_loss(cfg, outputs: dict, batch: dict) -> tuple:
         if valid is not None:
             present = present & valid[:, None]
         loss = PointerHead.loss(logits, order_labels, present)
+        loss = loss + _aux_losses(cfg, outputs, batch, order_labels,
+                                  metrics)
     else:
         raise ValueError(v)
     metrics["loss"] = loss
     return loss, metrics
+
+
+def _aux_losses(cfg, outputs, batch, order_labels, metrics):
+    """`hl_include_objectives` auxiliary losses
+    (`models/pointer_module.py:405-527`): head CE on labels[:,0]; binary
+    2-way CE on which of each (i<j) step pair precedes; itm 0.1x CE on
+    swap targets; mlm 0.05x masked-LM CE."""
+    objs = cfg.hl_include_objectives or []
+    total = 0.0
+    if "head" in objs and "head_logits" in outputs:
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            outputs["head_logits"], order_labels[:, 0])
+        metrics["aux_head"] = ce.mean()
+        total = total + ce.mean()
+    if ("binary" in objs or "pairwise" in objs) and "bin_logits" in outputs:
+        iu, ju = outputs["bin_pairs"]
+        pos = jnp.argsort(order_labels, axis=1)  # node -> chain time
+        lbl = (pos[:, iu] < pos[:, ju]).astype(jnp.int32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            outputs["bin_logits"], lbl)
+        metrics["aux_binary"] = ce.mean()
+        total = total + ce.mean()
+    if "itm" in objs and "itm_logits" in outputs and "itm_targets" in batch:
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            outputs["itm_logits"], batch["itm_targets"].astype(jnp.int32))
+        metrics["aux_itm"] = 0.1 * ce.mean()
+        total = total + 0.1 * ce.mean()
+    if "mlm" in objs and "mlm_logits" in outputs and "mlm_labels" in batch:
+        labels = batch["mlm_labels"].astype(jnp.int32)
+        vmask = labels != cfg.mlm_ignore_index
+        safe = jnp.where(vmask, labels, 0)
+        ce = -jnp.take_along_axis(
+            jax.nn.log_softmax(outputs["mlm_logits"], -1),
+            safe[:, :, None], 2)[..., 0]
+        mlm = (jnp.where(vmask, ce, 0.0).sum()
+               / jnp.maximum(vmask.sum(), 1))
+        metrics["aux_mlm"] = 0.05 * mlm
+        total = total + 0.05 * mlm
+    return total
 
 
 def make_train_step(cfg, mesh=None, donate: bool = True) -> Callable:
