@@ -39,8 +39,13 @@ class SequencingModel(nn.Module):
     def setup(self):
         cfg = self.cfg
         if cfg.multimodal:
-            self.encoder = MultimodalEncoder(cfg, self.vision_cfg,
-                                             name="encoder")
+            if cfg.multimodal_model_type == "visualbert":
+                from .visualbert import VisualBERTEncoder
+                self.encoder = VisualBERTEncoder(cfg, name="encoder")
+            else:  # "clip" (primary); vilbert/uniter are unreachable in the
+                # reference too (missing dirs, SURVEY §0)
+                self.encoder = MultimodalEncoder(cfg, self.vision_cfg,
+                                                 name="encoder")
         else:
             self.encoder = TextEncoder(cfg.encoder, name="encoder")
         v = cfg.hierarchical_version

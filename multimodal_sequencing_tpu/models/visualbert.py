@@ -1,0 +1,121 @@
+"""VisualBERT-style encoder: one visual token per step image.
+
+TPU-native rebuild of the reference's mmf-based VisualBERT
+(`/root/reference/models/visualbert/visual_bert_mmf.py:40-1061`): per-step
+images run a ResNet backbone to pooled features (optionally + ROI regional
+features, `:223-236`), projected into the hidden space by
+visio-linguistic embeddings (projection + per-step visual token type +
+position + LN, mmf `BertVisioLinguisticEmbeddings`), appended after the
+text token embeddings, and run through the shared transformer. Unlike the
+CLIP path there is no patch folding — each step contributes 1 (+R regional)
+visual tokens.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .config import MultimodalConfig
+from .encoder import Embeddings, TransformerLayer, attention_bias_from_mask
+from .resnet import ResNetBackbone, resnet_feature_dim
+
+
+class VisioLinguisticVisualEmbeddings(nn.Module):
+    """Projection + visual token-type + position embeddings + LN
+    (mmf BertVisioLinguisticEmbeddings, visual side)."""
+    hidden_size: int
+    max_story_length: int
+    max_positions: int = 256
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, visual_feats, type_ids, deterministic: bool = True):
+        x = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     name="projection")(visual_feats)
+        x = x + nn.Embed(self.max_story_length, self.hidden_size,
+                         dtype=self.dtype,
+                         name="token_type_embeddings")(type_ids)
+        pos = self.param("position_embeddings",
+                         nn.initializers.normal(0.02),
+                         (self.max_positions, self.hidden_size))
+        L = x.shape[1]
+        x = x + pos[:L][None].astype(x.dtype)
+        x = nn.LayerNorm(epsilon=1e-12, name="ln")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class VisualBERTEncoder(nn.Module):
+    """Text tokens + per-step pooled visual tokens -> shared transformer.
+    Returns (lang_out, visn_out, pooled) like MultimodalEncoder."""
+    cfg: MultimodalConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
+                 images=None, img_regional_features=None,
+                 deterministic: bool = True):
+        cfg = self.cfg
+        ecfg = cfg.encoder
+        if attention_mask is None:
+            attention_mask = jnp.ones_like(input_ids)
+        if cfg.multimodal_img_part:
+            input_ids = input_ids[:, :1]
+            attention_mask = attention_mask[:, :1]
+            token_type_ids = (token_type_ids[:, :1]
+                              if token_type_ids is not None else None)
+        lang = Embeddings(ecfg, name="embeddings")(
+            input_ids, token_type_ids, deterministic=deterministic)
+        lang_len = lang.shape[1]
+
+        visn = None
+        if images is not None and not cfg.multimodal_text_part:
+            b, n = images.shape[:2]
+            nhwc = jnp.transpose(
+                images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))
+            feats = ResNetBackbone(cfg.vision_model,
+                                   dtype=ecfg.compute_dtype,
+                                   name="vision_model")(
+                nhwc, deterministic=deterministic)
+            if cfg.freeze_vision_model:
+                feats = jax.lax.stop_gradient(feats)
+            feats = feats.reshape(b, n, -1)  # (B, N, C)
+            type_ids = jnp.broadcast_to(jnp.arange(n)[None], (b, n))
+            if (cfg.num_img_regional_features
+                    and img_regional_features is not None
+                    and img_regional_features.ndim == 4):
+                # (B, N, R, Cr) regional ROI features appended per step
+                r = img_regional_features.shape[2]
+                reg = nn.Dense(feats.shape[-1], dtype=ecfg.compute_dtype,
+                               name="regional_proj")(img_regional_features)
+                feats = jnp.concatenate(
+                    [feats[:, :, None], reg], axis=2).reshape(
+                        b, n * (1 + r), -1)
+                type_ids = jnp.repeat(type_ids, 1 + r, axis=1)
+            visn = VisioLinguisticVisualEmbeddings(
+                ecfg.hidden_size, cfg.max_story_length,
+                dropout=ecfg.hidden_dropout_prob,
+                dtype=ecfg.compute_dtype,
+                name="visual_embeddings")(
+                feats, type_ids, deterministic)
+
+        if visn is not None:
+            joint = jnp.concatenate([lang, visn], axis=1)
+            mask = jnp.concatenate(
+                [attention_mask,
+                 jnp.ones(visn.shape[:2], attention_mask.dtype)], axis=1)
+        else:
+            joint, mask = lang, attention_mask
+
+        bias = attention_bias_from_mask(mask, ecfg.compute_dtype)
+        for i in range(ecfg.num_hidden_layers):
+            joint = TransformerLayer(ecfg, name=f"layer_{i}")(
+                joint, bias, deterministic)
+        lang_out = joint[:, :lang_len]
+        visn_out = joint[:, lang_len:] if visn is not None else None
+        pooled = nn.tanh(nn.Dense(ecfg.hidden_size, dtype=ecfg.compute_dtype,
+                                  name="pooler")(lang_out[:, 0]))
+        return lang_out, visn_out, pooled

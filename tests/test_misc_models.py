@@ -80,3 +80,30 @@ def test_device_preprocess_matches_host():
     out = preprocess_uint8_images(jnp.asarray(img[None]), size=(16, 16))
     assert out.shape == (1, 3, 16, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_visualbert_encoder_and_sequencer():
+    from multimodal_sequencing_tpu.models.visualbert import (
+        VisualBERTEncoder)
+    from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+    enc = EncoderConfig.tiny(max_position_embeddings=100)
+    cfg = MultimodalConfig(encoder=enc, multimodal=True,
+                           multimodal_model_type="visualbert",
+                           vision_model="resnet18", max_story_length=3,
+                           hierarchical_version="v1",
+                           max_seq_length=48, per_seq_max_length=12,
+                           image_size=(32, 32))
+    rng = np.random.RandomState(0)
+    ids = rng.randint(5, 1000, (2, 48)).astype(np.int32)
+    step = 16
+    for s in range(3):
+        ids[:, s * step] = cfg.cls_id
+    imgs = rng.randn(2, 3, 3, 32, 32).astype(np.float32)
+    model = SequencingModel(cfg)
+    vars_ = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                       images=jnp.asarray(imgs))
+    out, _ = model.apply(vars_, jnp.asarray(ids), images=jnp.asarray(imgs),
+                         mutable=["batch_stats"])
+    assert out["heatmap"].shape == (2, 3, 3)
+    assert out["visual_output"].shape == (2, 3, enc.hidden_size)
+    assert np.isfinite(np.asarray(out["heatmap"])).all()
