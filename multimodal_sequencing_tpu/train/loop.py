@@ -86,12 +86,27 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     sample = next(data_loader(train_dataset, batch_size))
     state = make_train_state(model, jax.random.PRNGKey(args.seed),
                              device_batch(sample), tx=tx)
+
+    # resume from the latest checkpoint unless overwriting
+    # (`train.py:246-266` parses the step from the dir name)
+    start_step = 0
+    if not getattr(args, "overwrite_output_dir", False):
+        from .checkpoint import (
+            find_checkpoints, parse_step_from_name, restore_checkpoint)
+        ckpts = [c for c in find_checkpoints(args.output_dir)
+                 if parse_step_from_name(c) > 0]
+        if ckpts:
+            latest = max(ckpts, key=parse_step_from_name)
+            state = restore_checkpoint(latest, state)
+            start_step = parse_step_from_name(latest)
+            logger.info("resumed from %s at step %d", latest, start_step)
+
     step_fn = make_train_step(cfg, mesh)
     rng = jax.random.PRNGKey(args.seed + 1)
 
     writer = MetricWriter(os.path.join(args.output_dir, "logs"))
     best_score = -np.inf
-    global_step = 0
+    global_step = start_step
     t0 = time.time()
     aux_objs = set(cfg.hl_include_objectives or [])
     host_rng = np.random.default_rng(args.seed + 7)

@@ -122,3 +122,40 @@ def test_checkpoint_roundtrip(wikihow_dir, tmp_path):
     l2 = jax.tree.leaves(state2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_tools_extract_features(wikihow_dir, tmp_path):
+    from multimodal_sequencing_tpu.tools.extract_img_features import (
+        collect_story_image_paths, extract_features, write_regional_sidecar)
+    paths = collect_story_image_paths(wikihow_dir, "wikihow", "dev")
+    assert len(paths) == 2 * 5
+    feats = extract_features(paths[:4], "resnet18", image_size=(32, 32),
+                             batch_size=2)
+    assert len(feats) == 4
+    assert next(iter(feats.values())).shape == (512,)
+    # regional sidecar roundtrip
+    from multimodal_sequencing_tpu.data.images import load_maskrcnn_sidecar
+    img = str(tmp_path / "img.png")
+    open(img, "wb").close()
+    write_regional_sidecar(img, np.ones((7, 16), np.float32))
+    reg = load_maskrcnn_sidecar(img, 5)
+    assert reg.shape == (5, 16)
+
+
+def test_finetune_autoresume(wikihow_dir, tmp_path):
+    out = str(tmp_path / "resume")
+    argv = _common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1", "--max_steps", "2",
+        "--save_steps", "2",
+    ])
+    main_train(argv)
+    ckpts1 = find_checkpoints(out)
+    assert any(parse_step_from_name(c) == 2 for c in ckpts1)
+    # resume and run 2 more steps
+    argv2 = [a if a != "2" else a for a in argv]
+    idx = argv2.index("--max_steps")
+    argv2[idx + 1] = "4"
+    main_train(argv2)
+    ckpts2 = find_checkpoints(out)
+    assert any(parse_step_from_name(c) == 4 for c in ckpts2)
