@@ -455,6 +455,7 @@ def main_eval(argv=None):
         "head_and_sequential": ["head", "pairwise"],
         "head_and_sequential_abductive": ["head", "pairwise", "abductive"],
         "pure_class": ["pure_class"],
+        "pure_decode": ["pointer"],
         "heat_map": ["heatmap"],
         "berson": ["berson"],
     }
@@ -508,9 +509,22 @@ def load_model_for_eval(cfg, args, role: str, path: Optional[str]):
     elif role == "heatmap":
         if role_cfg.hierarchical_version not in ("v1", "v2", "v3"):
             role_cfg.hierarchical_version = "v1"
+    elif role == "pointer":
+        if role_cfg.hierarchical_version not in ("p0", "p1"):
+            role_cfg.hierarchical_version = "p0"
 
-    model = (build_model(role_cfg, args) if role == "berson"
-             else SequencingModel(role_cfg))
+    if role == "berson":
+        vcfg = None
+        if role_cfg.multimodal:
+            from ..models.clip_visual import CLIPVisionConfig
+            vcfg = (CLIPVisionConfig.rn50(dtype=role_cfg.encoder.dtype)
+                    if role_cfg.clip_model_name.startswith("RN")
+                    else CLIPVisionConfig.vit_b32(
+                        dtype=role_cfg.encoder.dtype))
+        model = BersonOrdering(role_cfg, vcfg, beam_size=args.beam_size,
+                               pairwise_loss_lam=args.pairwise_loss_lam)
+    else:
+        model = SequencingModel(role_cfg)
     L = args.max_seq_length
     ids = np.full((1, L), role_cfg.pad_id, np.int32)
     ids[0, 0] = role_cfg.cls_id

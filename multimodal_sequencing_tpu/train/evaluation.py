@@ -40,8 +40,15 @@ logger = logging.getLogger(__name__)
 
 SORT_METHODS = [
     "topological", "head_and_topological", "head_and_sequential",
-    "head_and_sequential_abductive", "pure_class", "heat_map", "berson",
+    "head_and_sequential_abductive", "pure_class", "pure_decode",
+    "heat_map", "berson",
 ]
+
+
+def _logsumexp(x, axis=-1, keepdims=False):
+    m = np.max(x, axis=axis, keepdims=True)
+    out = m + np.log(np.sum(np.exp(x - m), axis=axis, keepdims=True))
+    return out if keepdims else np.squeeze(out, axis)
 
 
 def _batched_apply(apply_fn, variables, feed: Dict[str, np.ndarray],
@@ -294,6 +301,27 @@ class SortEvaluator:
             logits = self.story_logits(model, variables, stories, images)
             n = self.cfg.max_story_length
             return [permutation_unrank(int(np.argmax(l)), n) for l in logits]
+
+        if sort_method == "pure_decode":
+            # the reference beam-generates index tokens with an encoder-
+            # decoder (`eval.py:947-1014`); the pointer (p0) head plays that
+            # role here, decoded with an exact permutation argmax (n! <= 120
+            # beats beam-5)
+            model, variables = models["pointer"]
+            logits = self.story_logits(model, variables, stories, images,
+                                       want="pointer_logits")
+            n = self.cfg.max_story_length
+            from itertools import permutations
+            logp = logits - _logsumexp(logits, axis=-1, keepdims=True)
+            preds = []
+            for b in range(len(stories)):
+                best, best_s = None, -np.inf
+                for perm in permutations(range(n)):
+                    s = sum(logp[b, t, perm[t]] for t in range(n))
+                    if s > best_s:
+                        best, best_s = list(perm), s
+                preds.append(best)
+            return preds
 
         head_idx = None
         if sort_method.startswith("head_and"):

@@ -159,3 +159,19 @@ def test_finetune_autoresume(wikihow_dir, tmp_path):
     main_train(argv2)
     ckpts2 = find_checkpoints(out)
     assert any(parse_step_from_name(c) == 4 for c in ckpts2)
+
+
+def test_eval_pure_decode_and_berson_methods(wikihow_dir, tmp_path):
+    out = str(tmp_path / "pd")
+    results = main_eval(_common(wikihow_dir, out, [
+        "--task_name", "wikihow_sort", "--sort_method", "pure_decode",
+        "--eval_splits", "dev", "--max_eval_steps", "1",
+    ]))
+    assert "dev" in results
+    out2 = str(tmp_path / "bs")
+    results2 = main_eval(_common(wikihow_dir, out2, [
+        "--task_name", "wikihow_sort", "--sort_method", "berson",
+        "--beam_size", "4",
+        "--eval_splits", "dev", "--max_eval_steps", "1",
+    ]))
+    assert "dev" in results2
