@@ -139,11 +139,19 @@ def _use_pallas() -> bool:
     return pltpu is not None and jax.default_backend() == "tpu"
 
 
+# Below this sequence length XLA's fused attention wins: the flash kernel's
+# per-program tiles are too small to feed the MXU (measured on v5e at
+# S=384/D=64: XLA 53.5ms vs Pallas 61.5ms full-encoder fwd+bwd). The flash
+# kernel pays off once the S x S score matrix stops fitting comfortably.
+PALLAS_MIN_SEQ = 1024
+
+
 def multihead_attention(q, k, v, bias=None, force_reference: bool = False):
-    """Dispatch: Pallas on TPU with block-aligned shapes, jnp elsewhere."""
+    """Dispatch: Pallas flash kernel on TPU for long block-aligned
+    sequences, XLA fused attention otherwise."""
     s = q.shape[2]
     if (not force_reference and _use_pallas() and s % 128 == 0
-            and q.shape == k.shape == v.shape):
+            and s >= PALLAS_MIN_SEQ and q.shape == k.shape == v.shape):
         if bias is None:
             bias = jnp.zeros((q.shape[0], 1, s, s), q.dtype)
         return _flash_attention_ad(q, k, v, bias)

