@@ -47,19 +47,21 @@ def main():
     dbatch = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(1)
 
-    # compile + warmup; the timed loop fetches the loss to host every step:
-    # on the remote-tunnel runtime block_until_ready alone under-reports
-    # (measured 5ms/step "async" vs 93ms/step with a D2H fetch), so the
-    # honest number requires the device-to-host sync.
+    # compile + warmup. Timing protocol for the remote-tunnel runtime:
+    # block_until_ready alone under-reports (returns before remote
+    # completion), and a D2H fetch per step adds a full tunnel RTT
+    # (~20-40ms) that real training never pays. So: enqueue the whole timed
+    # loop async, then force ONE final D2H fetch — the chain of donated
+    # states serializes the steps, and the single RTT amortizes away.
     for _ in range(8):
         state, m = step(state, dbatch, rng)
         _ = float(m["loss"])
 
-    iters = 20
+    iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, dbatch, rng)
-        _ = float(m["loss"])
+    _ = float(m["loss"])
     dt = time.perf_counter() - t0
 
     stories_per_sec = iters * batch_per_chip * n_dev / dt

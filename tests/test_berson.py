@@ -140,3 +140,20 @@ def test_berson_dataset(wikihow_dir, tokenizer):
     batch = next(data_loader(ds, batch_size=2))
     assert batch["input_ids"].shape == (2, 20, 16)
     assert batch["ground_truth"].shape == (2, 5)
+
+
+def test_berson_multimodal_clip(tokenizer):
+    from multimodal_sequencing_tpu.models.clip_visual import CLIPVisionConfig
+    cfg = _cfg(3, multimodal=True, clip_model_name="ViT-B/32",
+               image_size=(32, 32))
+    model = BersonOrdering(cfg, CLIPVisionConfig.tiny_vit(), beam_size=2)
+    batch = _berson_batch(tokenizer, n=3, b=2)
+    rng = np.random.RandomState(0)
+    batch["images"] = jnp.asarray(
+        rng.randn(2, 3, 3, 32, 32).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(params, batch)
+    assert np.isfinite(float(out["loss"]))
+    pred = model.apply(params, batch, method=BersonOrdering.beam_search)
+    for row in np.asarray(pred):
+        assert sorted(row.tolist()) == [0, 1, 2]
