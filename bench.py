@@ -33,9 +33,10 @@ def main():
         make_train_state, make_optimizer)
     from multimodal_sequencing_tpu.train.steps import make_train_step
 
+    import os
     cfg = _flagship_cfg()
     n_dev = len(jax.devices())
-    batch_per_chip = 8
+    batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", "8"))
     batch = _synth_batch(cfg, batch_size=batch_per_chip * n_dev)
     mesh = make_mesh()
     model = SequencingModel(cfg)

@@ -332,16 +332,60 @@ def main_train(argv=None):
     examples = load_examples(args, data_name, task_type, args.train_split)
     model = build_model(cfg, args)
     dataset = make_dataset(args, cfg, tokenizer, task_type, examples)
+    eval_fn = None
+    if args.evaluate_during_training and args.wrapper_model_type != "berson":
+        eval_fn = _make_dev_eval_fn(args, cfg, tokenizer, model, data_name)
     from .loop import run_finetune
     if args.wrapper_model_type == "berson":
         state, steps = _run_berson_training(cfg, model, dataset, args,
                                             tokenizer)
     else:
         state, steps = run_finetune(cfg, model, dataset, args,
-                                    tokenizer=tokenizer)
+                                    tokenizer=tokenizer, eval_fn=eval_fn)
     logger.info("training done at step %d; checkpoints in %s", steps,
                 args.output_dir)
     return state
+
+
+def _make_dev_eval_fn(args, cfg, tokenizer, model, data_name):
+    """Dev-split decode metrics during training (`train.py:366-422`): runs
+    the matching sort strategy for the current head over the first eval
+    split; the loop keys the best checkpoint on partial+exact match."""
+    from ..data.packing import StoryPacker
+    from ..data.datasets import SortDataset, data_loader
+    from .evaluation import SortEvaluator
+
+    split = args.eval_splits[0]
+    try:
+        examples = load_examples(args, data_name, "sort", split)
+    except (FileNotFoundError, ValueError) as e:
+        logger.warning("no dev split for eval-during-training: %s", e)
+        return None
+    ds = SortDataset(examples, tokenizer, max_length=args.max_seq_length,
+                     per_seq_max_length=args.per_seq_max_length,
+                     max_story_length=args.max_story_length,
+                     min_story_length=args.min_story_length,
+                     seed=args.seed, multimodal=args.multimodal,
+                     image_size=(args.vision_image_size,
+                                 args.vision_image_size))
+    packer = StoryPacker(tokenizer, args.max_seq_length,
+                         args.per_seq_max_length)
+    evaluator = SortEvaluator(cfg, packer,
+                              micro_batch=args.per_gpu_eval_batch_size * 4)
+    v = cfg.hierarchical_version
+    method = ("heat_map" if v in ("v1", "v2", "v3")
+              else "pure_decode" if v in ("p0", "p1") else "topological")
+    role = {"heat_map": "heatmap", "pure_decode": "pointer",
+            "topological": "pairwise"}[method]
+
+    def eval_fn(state):
+        variables = {"params": state.params, **state.model_state}
+        loader = data_loader(ds, args.per_gpu_eval_batch_size)
+        return evaluator.evaluate(
+            loader, method, {role: (model, variables)},
+            max_batches=args.max_eval_steps, args_ns=args)
+
+    return eval_fn
 
 
 def _run_berson_training(cfg, model, dataset, args, tokenizer):

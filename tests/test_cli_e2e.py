@@ -175,3 +175,18 @@ def test_eval_pure_decode_and_berson_methods(wikihow_dir, tmp_path):
         "--eval_splits", "dev", "--max_eval_steps", "1",
     ]))
     assert "dev" in results2
+
+
+def test_evaluate_during_training(wikihow_dir, tmp_path):
+    out = str(tmp_path / "edt")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1", "--max_steps", "2",
+        "--save_steps", "2", "--evaluate_during_training",
+        "--eval_splits", "dev", "--max_eval_steps", "1",
+        "--overwrite_output_dir",
+    ]))
+    assert state is not None
+    # best checkpoint written from the eval hook
+    assert any(c.endswith("checkpoint-best")
+               for c in find_checkpoints(out))

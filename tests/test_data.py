@@ -214,3 +214,57 @@ def test_data_loader_static_shapes(wikihow_dir, tokenizer):
     again = list(data_loader(ds, batch_size=4, shuffle=True, seed=0))
     np.testing.assert_array_equal(batches[0]["input_ids"],
                                   again[0]["input_ids"])
+
+
+def test_multiref_pipeline(tmp_path, tokenizer):
+    """Multiref ground truth flows from JSONL through SortDataset to the
+    multiref-max metrics (reference: wikihow multiref_gt passthrough +
+    `processors.py:824-837` + `metrics.py:21-55`)."""
+    import json
+    from multimodal_sequencing_tpu.data import (
+        WikiHowGeneralProcessor, SortDataset)
+    from multimodal_sequencing_tpu.utils.metrics import compute_metrics
+
+    root = tmp_path / "wh"
+    root.mkdir()
+    records = []
+    for a in range(2):
+        steps = []
+        for s in range(4):
+            steps.append({
+                "step_headline": None,
+                "step_text": {"text": f"Article {a} step {s} does a thing.",
+                              "bullet_points": []},
+                "step_assets": {},
+            })
+        records.append({
+            "url": f"u{a}", "title": "t", "summary": "s",
+            "sections": [{"steps": steps}],
+            # refs are 1-based orders incl. the identity (reference asserts
+            # the identity is present after offset removal)
+            "multiref_gt": [[1, 2, 3, 4], [2, 1, 3, 4]],
+        })
+    with open(root / "wikihow-test.json", "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+    proc = WikiHowGeneralProcessor(data_dir=str(root), max_story_length=4,
+                                   min_story_length=4,
+                                   paired_with_image=False)
+    examples = proc.get_test_examples()
+    assert proc.multiref_gt
+    assert examples[0].multiref_gt == [[1, 2, 3, 4], [2, 1, 3, 4]]
+
+    ds = SortDataset(examples, tokenizer, max_length=64,
+                     per_seq_max_length=12, max_story_length=4,
+                     min_story_length=4, seed=0)
+    item = ds[0]
+    labels = item["labels"]
+    assert labels.shape == (2, 4)  # two references
+
+    # scoring a prediction equal to one reference scores EM=1 via max
+    class A:
+        max_story_length = 4
+        multiref_metrics = "max"
+    pred = labels[1].tolist()
+    assert compute_metrics(A(), "exact_match", [pred], [labels]) == 1.0
