@@ -404,8 +404,12 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     n_dev = int(np.prod(mesh.devices.shape))
     batch_size = args.per_gpu_train_batch_size * n_dev
     steps_per_epoch = max(1, len(dataset) // batch_size)
-    total_steps = (args.max_steps if args.max_steps > 0
-                   else int(steps_per_epoch * args.num_train_epochs))
+    if args.max_steps > 0:
+        total_steps = args.max_steps
+        epochs = total_steps // steps_per_epoch + 1
+    else:
+        epochs = max(1, int(args.num_train_epochs))
+        total_steps = int(steps_per_epoch * args.num_train_epochs)
     tx = make_optimizer(
         learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,
         total_steps=total_steps, weight_decay=args.weight_decay,
@@ -445,7 +449,7 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     writer = MetricWriter(os.path.join(args.output_dir, "logs"))
     rng = jax.random.PRNGKey(args.seed + 1)
     global_step = 0
-    for epoch in range(max(1, int(args.num_train_epochs))):
+    for epoch in range(epochs):
         for batch in data_loader(dataset, batch_size, shuffle=True,
                                  seed=args.seed, epoch=epoch,
                                  drop_last=True):

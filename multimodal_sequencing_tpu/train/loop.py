@@ -177,9 +177,12 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
     n_dev = int(np.prod(mesh.devices.shape))
     batch_size = args.per_gpu_train_batch_size * n_dev
     steps_per_epoch = max(1, len(train_dataset) // batch_size)
-    epochs = int(args.num_train_epochs)
-    total_steps = (args.max_steps if getattr(args, "max_steps", 0) > 0
-                   else steps_per_epoch * epochs)
+    if getattr(args, "max_steps", 0) and args.max_steps > 0:
+        total_steps = args.max_steps
+        epochs = total_steps // steps_per_epoch + 1
+    else:
+        epochs = int(args.num_train_epochs)
+        total_steps = steps_per_epoch * epochs
 
     # "no_mlm" in the objective list disables the MLM loss (reference flag);
     # with no objectives at all we run MLM-only pretraining
