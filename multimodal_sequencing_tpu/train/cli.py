@@ -344,7 +344,71 @@ def main_train(argv=None):
                                     tokenizer=tokenizer, eval_fn=eval_fn)
     logger.info("training done at step %d; checkpoints in %s", steps,
                 args.output_dir)
+
+    # --do_eval: evaluate selected checkpoints after training
+    # (`train.py:2168-2225`: iters_to_eval globbing incl. 'best')
+    if args.do_eval and args.wrapper_model_type != "berson":
+        from .checkpoint import find_checkpoints
+        eval_fn = _make_dev_eval_fn(args, cfg, tokenizer, model, data_name)
+        if eval_fn is not None:
+            ckpts = find_checkpoints(
+                args.output_dir,
+                None if args.eval_all_checkpoints else args.iters_to_eval)
+            if not ckpts:
+                res = eval_fn(state)
+                logger.info("final-state eval: %s", res)
+            for ck in ckpts:
+                from .checkpoint import restore_checkpoint
+                st = restore_checkpoint(ck, state)
+                res = eval_fn(st)
+                logger.info("eval %s: %s", os.path.basename(ck), res)
     return state
+
+
+def _make_berson_eval_fn(args, cfg, tokenizer, model):
+    """Beam-search dev metrics for the BERSON wrapper (acc/pmr/tau of
+    `models/berson/eval.py:131-135`, via the shared metric suite)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ..data.datasets import BersonDataset, data_loader
+    from ..models.berson import BersonOrdering
+    from ..utils.metrics import compute_metrics
+
+    data_name, _ = _parse_task(args)
+    try:
+        examples = load_examples(args, data_name, "sort",
+                                 args.eval_splits[0])
+    except (FileNotFoundError, ValueError) as e:
+        logger.warning("no dev split for berson eval: %s", e)
+        return None
+    ds = BersonDataset(examples, tokenizer, max_length=args.max_seq_length,
+                       per_seq_max_length=args.per_seq_max_length,
+                       max_story_length=args.max_story_length,
+                       min_story_length=args.min_story_length,
+                       seed=args.seed, multimodal=args.multimodal,
+                       image_size=(args.vision_image_size,
+                                   args.vision_image_size))
+
+    def eval_fn(state):
+        variables = {"params": state.params, **state.model_state}
+        preds, labels = [], []
+        for bi, batch in enumerate(data_loader(
+                ds, args.per_gpu_eval_batch_size)):
+            if args.max_eval_steps is not None and bi >= args.max_eval_steps:
+                break
+            db = {k: jnp.asarray(v) for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and v.dtype != object}
+            pred = state.apply_fn(variables, db,
+                                  method=BersonOrdering.beam_search)
+            valid = batch.get("valid")
+            for i, p in enumerate(np.asarray(pred)):
+                if valid is None or valid[i]:
+                    preds.append(p.tolist())
+                    labels.append(np.asarray(batch["labels"][i]))
+        return {m: compute_metrics(args, m, preds, labels)
+                for m in ("partial_match", "exact_match", "tau")}
+
+    return eval_fn
 
 
 def _make_dev_eval_fn(args, cfg, tokenizer, model, data_name):
@@ -446,13 +510,20 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
             loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads, new_ms), out
 
+    # eval-during-training: beam-search decode over the first eval split
+    # (berson_evaluate analogue, `models/berson/eval.py:39-187`)
+    beam_eval = None
+    if args.evaluate_during_training:
+        beam_eval = _make_berson_eval_fn(args, cfg, tokenizer, model)
+
     writer = MetricWriter(os.path.join(args.output_dir, "logs"))
     rng = jax.random.PRNGKey(args.seed + 1)
     global_step = 0
+    best_score = -float("inf")
     for epoch in range(epochs):
         for batch in data_loader(dataset, batch_size, shuffle=True,
                                  seed=args.seed, epoch=epoch,
-                                 drop_last=True):
+                                 drop_last=False):
             db = shard_batch({k: v for k, v in batch.items()
                               if isinstance(v, np.ndarray)
                               and v.dtype != object}, mesh)
@@ -466,6 +537,19 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
                 save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
                                 tokenizer=tokenizer,
                                 training_args=vars(args))
+                if beam_eval is not None:
+                    res = beam_eval(state)
+                    for k, v in res.items():
+                        writer.scalar(f"eval/{k}", v, global_step)
+                    logger.info("eval @%d: %s", global_step, res)
+                    score = res.get("partial_match", 0) + res.get(
+                        "exact_match", 0)
+                    if score > best_score:
+                        best_score = score
+                        save_checkpoint(args.output_dir, global_step, state,
+                                        cfg=cfg, tokenizer=tokenizer,
+                                        training_args=vars(args),
+                                        name="best")
             if global_step >= total_steps:
                 break
         if global_step >= total_steps:

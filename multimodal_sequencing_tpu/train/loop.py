@@ -262,7 +262,7 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
     for epoch in range(max(1, epochs)):
         for batch in data_loader(train_dataset, batch_size, shuffle=True,
                                  seed=args.seed, epoch=epoch,
-                                 drop_last=True):
+                                 drop_last=False):
             objective = choose_objective(objectives, host_rng)
             nb, aux = prepare(batch, objective)
             nbj = {k: jnp.asarray(v) for k, v in nb.items()}

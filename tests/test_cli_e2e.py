@@ -190,3 +190,29 @@ def test_evaluate_during_training(wikihow_dir, tmp_path):
     # best checkpoint written from the eval hook
     assert any(c.endswith("checkpoint-best")
                for c in find_checkpoints(out))
+
+
+def test_berson_cli_train_with_eval(wikihow_dir, tmp_path):
+    out = str(tmp_path / "bersonrun")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--wrapper_model_type", "berson", "--beam_size", "2",
+        "--per_gpu_train_batch_size", "2", "--max_steps", "2",
+        "--save_steps", "2", "--evaluate_during_training",
+        "--eval_splits", "dev", "--max_eval_steps", "1",
+        "--overwrite_output_dir",
+    ]))
+    assert state is not None
+    assert any(c.endswith("checkpoint-best") for c in find_checkpoints(out))
+
+
+def test_do_eval_after_training(wikihow_dir, tmp_path):
+    out = str(tmp_path / "doeval")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--do_eval", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1", "--max_steps", "2",
+        "--save_steps", "2", "--eval_all_checkpoints",
+        "--eval_splits", "dev", "--max_eval_steps", "1",
+        "--overwrite_output_dir",
+    ]))
+    assert state is not None
