@@ -59,18 +59,25 @@ class StoryPacker:
              max_seq_length: Optional[int] = None
              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Concatenate per-step id arrays into (input_ids, attention_mask,
-        token_type_ids) of fixed length (`processors.py:251-270`)."""
+        token_type_ids) of fixed length (`processors.py:251-270`). Uses the
+        native packer (`native/packer.cc`) when built."""
         L = max_seq_length or self.max_seq_length
-        input_ids = np.full(L, self.pad_id, dtype=np.int32)
-        token_type_ids = np.zeros(L, dtype=np.int32)
-        if step_ids:
-            cat = np.concatenate(step_ids)
-            types = np.concatenate([
-                np.full(len(s), i, dtype=np.int32)
-                for i, s in enumerate(step_ids)])
-            n = min(L, len(cat))
-            input_ids[:n] = cat[:n]
-            token_type_ids[:n] = types[:n]
+        from . import _native
+        nat = _native.pack_story(step_ids, L, self.pad_id) if step_ids \
+            else None
+        if nat is not None:
+            input_ids, token_type_ids = nat
+        else:
+            input_ids = np.full(L, self.pad_id, dtype=np.int32)
+            token_type_ids = np.zeros(L, dtype=np.int32)
+            if step_ids:
+                cat = np.concatenate(step_ids)
+                types = np.concatenate([
+                    np.full(len(s), i, dtype=np.int32)
+                    for i, s in enumerate(step_ids)])
+                n = min(L, len(cat))
+                input_ids[:n] = cat[:n]
+                token_type_ids[:n] = types[:n]
         attention_mask = (input_ids != self.pad_id).astype(np.int32)
         return input_ids, attention_mask, token_type_ids
 
@@ -101,9 +108,29 @@ class StoryPacker:
         assert len(texts) == n, "berson packing expects full-length stories"
         step_ids = self.encode_steps(texts)
         L = 2 * self.per_seq_max_length
+        order_label = list(order_label)
+
+        from . import _native
+        nat = (_native.pack_berson(step_ids, order_label, L, self.pad_id)
+               if roberta_types else None)
+        if nat is not None:
+            input_ids, sep_positions, pairwise_labels, pairs_arr = nat
+            token_type_ids = np.zeros((len(pairs_arr), L), dtype=np.int32)
+            attention_mask = (input_ids != self.pad_id).astype(np.int32)
+            return {
+                "input_ids": input_ids, "attention_mask": attention_mask,
+                "token_type_ids": token_type_ids,
+                "sep_positions": sep_positions,
+                "pairs_list": pairs_arr,
+                "pairwise_labels": pairwise_labels,
+                "ground_truth": np.asarray(order_label, dtype=np.int32),
+                "mask_cls": np.ones((n,), dtype=np.int32),
+                "passage_length": np.int32(n),
+                "pairs_num": np.int32(len(pairs_arr)),
+            }
+
         pairs = ([[i, j] for i in range(n) for j in range(i + 1, n)]
                  + [[j, i] for i in range(n) for j in range(i + 1, n)])
-        order_label = list(order_label)
         pos = {s: order_label.index(s) for s in range(n)}
 
         P = len(pairs)
@@ -141,6 +168,12 @@ class StoryPacker:
         n = len(texts)
         step_ids = self.encode_steps(texts)
         L = max_pair_len or self.max_seq_length
+        from . import _native
+        nat = _native.pack_all_pairs(step_ids, L, self.pad_id)
+        if nat is not None:
+            input_ids, types, idx = nat
+            attn = (input_ids != self.pad_id).astype(np.int32)
+            return input_ids, attn, types, idx
         pairs, idx = [], []
         for i in range(n):
             for j in range(n):
