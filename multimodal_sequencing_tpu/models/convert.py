@@ -196,6 +196,102 @@ def convert_clip_rn50(state_dict: Dict, layers=(3, 4, 6, 3)) -> Dict:
     return {"params": {"resnet": params}, "batch_stats": {"resnet": stats}}
 
 
+def apply_pretrained_to_state(state, args, cfg, encoder_key: str = "encoder"):
+    """Load pretrained weights (see load_pretrained_weights) into a
+    TrainState, merging BatchNorm running stats into model_state. The
+    encoder subtree key is 'encoder' for SequencingModel/Pretrainer and
+    'inner' for BersonOrdering."""
+    import jax
+    params = jax.device_get(state.params)
+    if encoder_key != "encoder":
+        alias = dict(params)
+        alias["encoder"] = alias.pop(encoder_key, {})
+        loaded = load_pretrained_weights(alias, args, cfg)
+        loaded[encoder_key] = loaded.pop("encoder")
+    else:
+        loaded = load_pretrained_weights(dict(params), args, cfg)
+    model_state = dict(jax.device_get(state.model_state))
+    clip_bs = loaded.pop("_clip_batch_stats", None)
+    vis_bs = loaded.pop("_vision_batch_stats", None)
+    if clip_bs is not None or vis_bs is not None:
+        bs = dict(model_state.get("batch_stats", {}))
+        enc_bs = dict(bs.get(encoder_key, {}))
+        if clip_bs is not None:
+            enc_bs["visual_model"] = clip_bs
+        if vis_bs is not None:
+            enc_bs["vision_model"] = vis_bs
+        bs[encoder_key] = enc_bs
+        model_state["batch_stats"] = bs
+    return state.replace(params=loaded, model_state=model_state)
+
+
+def load_pretrained_weights(params: Dict, args, cfg) -> Dict:
+    """Wire the reference's pretrained-weight flags into a params tree:
+
+    * `--model_name_or_path <dir with pytorch_model.bin>`: HF BERT/RoBERTa
+      text weights into the encoder (text-only TextEncoder layout or the
+      multimodal joint-encoder layout, whose embeddings/layers live at the
+      encoder's top level).
+    * `--clip_visual_model_weights`: OpenAI-CLIP visual weights filtered
+      into the CLIP tower (`train.py:1885-1899`).
+    * `--vision_model_checkpoint`: torchvision ResNet weights into the
+      vision backbone (`train.py:1909-1921`).
+
+    Returns the updated params (copy-on-write at the top level); missing
+    files raise, mismatched architectures raise KeyError from conversion.
+    """
+    import os
+    params = dict(params)
+
+    mp = getattr(args, "model_name_or_path", None)
+    if mp and os.path.isdir(mp):
+        bin_path = None
+        for cand in ("pytorch_model.bin", "model.safetensors"):
+            if os.path.exists(os.path.join(mp, cand)):
+                bin_path = os.path.join(mp, cand)
+                break
+        if bin_path and bin_path.endswith(".bin"):
+            sd = load_torch_state_dict(bin_path)
+            text = convert_hf_text_encoder(sd, cfg.encoder.num_hidden_layers)
+            if cfg.encoder.type_vocab_size > 2:
+                text = resize_token_type_embeddings(
+                    text, cfg.encoder.type_vocab_size)
+            enc = dict(params.get("encoder", {}))
+            # both encoder layouts keep embeddings/layer_i/pooler names
+            for k, v in text.items():
+                if k in enc or k.startswith(("embeddings", "layer_",
+                                             "pooler")):
+                    enc[k] = v
+            params["encoder"] = enc
+            logger.info("loaded HF text weights from %s", bin_path)
+
+    cw = getattr(args, "clip_visual_model_weights", None)
+    if cw and os.path.exists(cw):
+        sd = filter_visual_state_dict(load_torch_state_dict(cw))
+        enc = dict(params.get("encoder", {}))
+        if cfg.clip_model_name.startswith("RN"):
+            conv = convert_clip_rn50(sd)
+            enc["visual_model"] = conv["params"]
+            # caller must merge conv["batch_stats"] into model_state
+            params["_clip_batch_stats"] = conv["batch_stats"]
+        else:
+            enc["visual_model"] = convert_clip_vit(sd)
+        params["encoder"] = enc
+        logger.info("loaded CLIP visual weights from %s", cw)
+
+    vc = getattr(args, "vision_model_checkpoint", None)
+    if vc and os.path.exists(vc):
+        from .resnet import convert_torchvision_resnet
+        sd = load_torch_state_dict(vc)
+        p, stats = convert_torchvision_resnet(sd, cfg.vision_model)
+        enc = dict(params.get("encoder", {}))
+        enc["vision_model"] = p
+        params["encoder"] = enc
+        params["_vision_batch_stats"] = stats
+        logger.info("loaded vision backbone weights from %s", vc)
+    return params
+
+
 def load_torch_state_dict(path: str) -> Dict:
     """Load a torch checkpoint file into numpy arrays."""
     import torch

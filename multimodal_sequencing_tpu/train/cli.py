@@ -488,6 +488,8 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params), model_state=variables,
                        tx=tx, apply_fn=model.apply)
+    from ..models.convert import apply_pretrained_to_state
+    state = apply_pretrained_to_state(state, args, cfg, encoder_key="inner")
 
     @jax.jit
     def step_fn(state, batch, rng):

@@ -87,6 +87,10 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     state = make_train_state(model, jax.random.PRNGKey(args.seed),
                              device_batch(sample), tx=tx)
 
+    # pretrained weight loads (HF text / CLIP visual / vision backbone)
+    from ..models.convert import apply_pretrained_to_state
+    state = apply_pretrained_to_state(state, args, cfg)
+
     # resume from the latest checkpoint unless overwriting
     # (`train.py:246-266` parses the step from the dir name)
     start_step = 0
@@ -226,6 +230,8 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params), model_state=variables,
                        tx=tx, apply_fn=model.apply)
+    from ..models.convert import apply_pretrained_to_state
+    state = apply_pretrained_to_state(state, args, cfg)
 
     step_cache: Dict[str, Callable] = {}
 

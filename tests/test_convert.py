@@ -195,3 +195,54 @@ def test_filter_visual_state_dict():
           "model.visual.ln_pre.weight": 3}
     out = filter_visual_state_dict(sd)
     assert out == {"conv1.weight": 1, "ln_pre.weight": 3}
+
+
+def test_apply_pretrained_to_state(tmp_path, wikihow_dir):
+    """--model_name_or_path pointing at an HF torch checkpoint loads the
+    text weights into a fresh train state (text-only and berson trees)."""
+    from transformers import BertConfig, BertModel
+    import jax, jax.numpy as jnp
+    from multimodal_sequencing_tpu.models.config import (
+        EncoderConfig, MultimodalConfig)
+    from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+    from multimodal_sequencing_tpu.train.state import (
+        make_train_state, make_optimizer)
+    from multimodal_sequencing_tpu.models.convert import (
+        apply_pretrained_to_state)
+
+    hf_cfg = BertConfig(
+        vocab_size=200, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2)
+    torch.manual_seed(0)
+    hf = BertModel(hf_cfg)
+    ckpt = tmp_path / "hf"
+    ckpt.mkdir()
+    torch.save(hf.state_dict(), ckpt / "pytorch_model.bin")
+
+    enc = EncoderConfig(
+        vocab_size=200, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2, pad_token_id=0,
+        position_offset=0, dtype="float32")
+    cfg = MultimodalConfig(encoder=enc, max_seq_length=32,
+                           per_seq_max_length=8)
+    model = SequencingModel(cfg)
+    batch = {"input_ids": np.zeros((2, 32), np.int32),
+             "attention_mask": np.ones((2, 32), np.int32),
+             "token_type_ids": np.zeros((2, 32), np.int32)}
+    state = make_train_state(model, jax.random.PRNGKey(0), batch,
+                             tx=make_optimizer())
+
+    class A:
+        model_name_or_path = str(ckpt)
+        clip_visual_model_weights = None
+        vision_model_checkpoint = None
+    state2 = apply_pretrained_to_state(state, A(), cfg)
+    want = hf.state_dict()["embeddings.word_embeddings.weight"].numpy()
+    got = np.asarray(
+        state2.params["encoder"]["embeddings"]["word_embeddings"][
+            "embedding"])
+    np.testing.assert_allclose(got, want)
+    # untouched head params remain
+    assert "cls_head" in state2.params
