@@ -240,9 +240,55 @@ class PretrainDataset(_StoryDatasetBase):
         return item
 
 
-class RetrievalDataset(PretrainDataset):
-    """Whole-story retrieval examples (`processors.py:1068+`); same tensor
-    layout as PretrainDataset."""
+class RetrievalDataset(_StoryDatasetBase):
+    """Missing-step retrieval (`processors.py:1068-1244`): each story is
+    packed with ONE random step skipped; `labels` is the argsort of the
+    kept-step indices followed by the skipped index; `candidates_list()`
+    enumerates every step of every story (the retrieval pool)."""
+
+    def __getitem__(self, idx, epoch: int = 0):
+        ex = self.examples[idx]
+        texts = list(ex.text_seq[:self.max_story_length])
+        n = len(texts)
+        rng = _example_rng(self.seed, epoch, idx)
+        skip = int(rng.integers(0, n))
+        kept = [i for i in range(n) if i != skip]
+        item = self._pack([texts[i] for i in kept])
+        # label = argsort(kept + [skip]) (`processors.py:1197-1218`)
+        item["labels"] = np.argsort(
+            np.asarray(kept + [skip])).astype(np.int32)
+        item["guid"] = f"{ex.guid}###{skip}"
+        item["skip_idx"] = np.int32(skip)
+        if self.multimodal and ex.img_path_seq is not None:
+            item["images"] = load_image_stack(
+                [ex.img_path_seq[i] for i in kept]
+                + [None] * (self.max_story_length - len(kept)),
+                self.image_size)
+        return item
+
+    def candidates_list(self):
+        """Every step of every story as a retrieval candidate:
+        (input_ids, attention_mask, guid###step[, image])
+        (`processors.py:1132-1170`)."""
+        out = []
+        for ex in self.examples:
+            texts = ex.text_seq[:self.max_story_length]
+            for j, text in enumerate(texts):
+                ids = self.packer.encode_step(text)
+                padded = np.full(self.packer.per_seq_max_length,
+                                 self.pad_id, np.int32)
+                padded[:len(ids)] = ids[:len(padded)]
+                item = {
+                    "input_ids": padded,
+                    "attention_mask": (padded != self.pad_id).astype(
+                        np.int32),
+                    "guid": f"{ex.guid}###{j}",
+                }
+                if self.multimodal and ex.img_path_seq is not None:
+                    item["images"] = load_image_stack(
+                        [ex.img_path_seq[j]], self.image_size)
+                out.append(item)
+        return out
 
 
 class BersonDataset(_StoryDatasetBase):

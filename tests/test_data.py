@@ -268,3 +268,20 @@ def test_multiref_pipeline(tmp_path, tokenizer):
         multiref_metrics = "max"
     pred = labels[1].tolist()
     assert compute_metrics(A(), "exact_match", [pred], [labels]) == 1.0
+
+
+def test_retrieval_dataset(wikihow_dir, tokenizer):
+    from multimodal_sequencing_tpu.data import RetrievalDataset
+    ex = _head_examples(wikihow_dir)
+    ds = RetrievalDataset(ex, tokenizer, max_length=128,
+                          per_seq_max_length=16, seed=0)
+    item = ds[0]
+    # one step skipped: 4 CLS tokens packed
+    assert (item["input_ids"] == tokenizer.cls_token_id).sum() == 4
+    assert sorted(item["labels"].tolist()) == [0, 1, 2, 3, 4]
+    skip = int(item["skip_idx"])
+    assert item["guid"].endswith(f"###{skip}")
+    # the skipped step's label position is last in the argsort input
+    cands = ds.candidates_list()
+    assert len(cands) == 6 * 5
+    assert cands[0]["input_ids"].shape == (16,)
