@@ -276,8 +276,11 @@ def make_dataset(args, cfg, tokenizer, task_type, examples, scramble=True,
                                 decode=decode, **common)
     if task_type in ("sort", "pure_decode"):
         return SortDataset(examples, tokenizer, scramble=scramble, **common)
-    if task_type in ("pretrain", "retrieve"):
+    if task_type == "pretrain":
         return PretrainDataset(examples, tokenizer, scramble=False, **common)
+    if task_type == "retrieve":
+        from ..data.datasets import RetrievalDataset
+        return RetrievalDataset(examples, tokenizer, **common)
     raise NotImplementedError(f"task_type {task_type}")
 
 

@@ -109,6 +109,15 @@ def recipeqa_dir(tmp_path_factory):
     return str(root)
 
 
+@pytest.fixture(autouse=True)
+def _isolate_prng_impl():
+    """CLI mains flip jax_default_prng_impl process-globally (--prng_impl);
+    restore it so later tests keep deterministic threefry streams."""
+    before = jax.config.jax_default_prng_impl
+    yield
+    jax.config.update("jax_default_prng_impl", before)
+
+
 @pytest.fixture(scope="session")
 def tokenizer():
     from multimodal_sequencing_tpu.data.tokenization import (

@@ -70,11 +70,12 @@ def test_train_step_runs_and_descends(wikihow_dir, tokenizer, version):
         wikihow_dir, tokenizer, version, lr=1e-3, total_steps=50)
     rng = jax.random.PRNGKey(1)
     losses = []
-    for _ in range(8):
+    for _ in range(12):
         state, metrics = step(state, dbatch, rng)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0]
+    # dropout-noise-robust descent check: late window below early window
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
 def test_train_step_8device_mesh(wikihow_dir, tokenizer):
