@@ -574,10 +574,18 @@ def main_pretrain(argv=None):
     if args.task_type is None:
         args.task_type = "pretrain"
     cfg, tokenizer = build_config(args)
-    data_name = (args.data_names[0] if args.data_names else args.data_name)
-    if args.data_dirs and not args.data_dir:
-        args.data_dir = args.data_dirs[0]
-    examples = load_examples(args, data_name, "pretrain", args.train_split)
+    # multi-dataset pretraining: concatenate examples across
+    # (--data_dirs, --data_names) pairs (`run_pretraining.py` data_dirs)
+    names = args.data_names or [args.data_name]
+    dirs = args.data_dirs or [args.data_dir]
+    examples = []
+    for dname, ddir in zip(names, dirs):
+        sub_args = argparse.Namespace(**vars(args))
+        sub_args.data_dir = ddir
+        sub_args.data_dirs = None
+        examples.extend(
+            load_examples(sub_args, dname, "pretrain", args.train_split))
+    args.data_dir = dirs[0]
     dataset = make_dataset(args, cfg, tokenizer, "pretrain", examples)
     from ..models.pretrainer import SequencingPretrainer
     from ..models.clip_visual import CLIPVisionConfig

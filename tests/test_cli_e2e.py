@@ -216,3 +216,15 @@ def test_do_eval_after_training(wikihow_dir, tmp_path):
         "--overwrite_output_dir",
     ]))
     assert state is not None
+
+
+def test_pretrain_multi_dataset(wikihow_dir, recipeqa_dir, tmp_path):
+    out = str(tmp_path / "multi")
+    state = main_pretrain(_common(wikihow_dir, out, [
+        "--do_train", "--task_type", "pretrain",
+        "--data_dirs", wikihow_dir, recipeqa_dir,
+        "--data_names", "wikihow", "recipeqa",
+        "--max_steps", "1", "--save_steps", "0",
+        "--overwrite_output_dir",
+    ]))
+    assert state is not None
