@@ -236,12 +236,41 @@ def make_processor(args, data_name: str, split: str, for_task: str):
 
 
 def load_examples(args, data_name, task_type, split):
+    """Processor example loading with the reference's disk cache contract
+    (`train.py:714-759`): `cached_{split}_{model}_{len}_{task}` under the
+    data dir, gated by --use_cached / --overwrite_cache."""
+    import pickle
+    data_dir = args.data_dir or (args.data_dirs[0] if args.data_dirs else "")
+    cache_path = None
+    if getattr(args, "use_cached", False) and data_dir:
+        model_tag = os.path.basename(
+            str(args.model_name_or_path).rstrip("/")) or "model"
+        cache_path = os.path.join(
+            data_dir, f"cached_{split.replace('/', '_')}_{model_tag}_"
+                      f"{args.max_seq_length}_{data_name}_{task_type}.pkl")
+        if (os.path.exists(cache_path)
+                and not getattr(args, "overwrite_cache", False)):
+            logger.info("loading cached examples from %s", cache_path)
+            with open(cache_path, "rb") as f:
+                return pickle.load(f)
+
     proc, base_split = make_processor(args, data_name, split, task_type)
     if base_split == "train":
-        return proc.get_train_examples()
-    if base_split in ("dev", "val"):
-        return proc.get_dev_examples()
-    return proc.get_test_examples()
+        examples = proc.get_train_examples()
+    elif base_split in ("dev", "val"):
+        examples = proc.get_dev_examples()
+    else:
+        examples = proc.get_test_examples()
+
+    if cache_path:
+        try:
+            with open(cache_path, "wb") as f:
+                pickle.dump(examples, f)
+            logger.info("cached %d examples to %s", len(examples),
+                        cache_path)
+        except OSError as e:
+            logger.warning("could not write cache %s: %s", cache_path, e)
+    return examples
 
 
 def make_dataset(args, cfg, tokenizer, task_type, examples, scramble=True,

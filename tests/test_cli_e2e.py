@@ -228,3 +228,22 @@ def test_pretrain_multi_dataset(wikihow_dir, recipeqa_dir, tmp_path):
         "--overwrite_output_dir",
     ]))
     assert state is not None
+
+
+def test_example_cache(wikihow_dir):
+    import argparse, glob
+    from multimodal_sequencing_tpu.train.cli import load_examples
+    args = argparse.Namespace(
+        data_dir=wikihow_dir, data_dirs=None, model_name_or_path="simple",
+        max_seq_length=96, use_cached=True, overwrite_cache=False,
+        order_criteria="tight", min_story_length=5, max_story_length=5,
+        multimodal=False, caption_transformations=None,
+        abd_pred_method="binary")
+    ex1 = load_examples(args, "wikihow", "sort", "dev")
+    caches = glob.glob(os.path.join(wikihow_dir, "cached_dev_*"))
+    assert caches, "cache file written"
+    ex2 = load_examples(args, "wikihow", "sort", "dev")
+    assert len(ex1) == len(ex2)
+    assert ex1[0].guid == ex2[0].guid
+    for c in caches:
+        os.remove(c)
