@@ -121,6 +121,34 @@ def load_image_stack(filenames: Sequence[Optional[str]],
     return np.stack([load_and_transform(f, size) for f in filenames])
 
 
+def load_image_stack_uint8(filenames: Sequence[Optional[str]],
+                           size: Tuple[int, int] = (224, 224)) -> np.ndarray:
+    """Stack of per-step images as (N, H, W, 3) uint8 (host decodes +
+    integer-resizes only; scale/normalize/transpose run fused on device —
+    `ops/preprocess.py`). 4x less H2D traffic than the float pipeline."""
+    out = []
+    for f in filenames:
+        if f is None:
+            out.append(np.zeros((size[0], size[1], 3), np.uint8))
+            continue
+        try:
+            img = read_image_rgb(f)
+        except Exception as e:
+            logger.warning("Failed reading image %s (%s); using zeros", f, e)
+            out.append(np.zeros((size[0], size[1], 3), np.uint8))
+            continue
+        try:
+            import cv2
+            r = cv2.resize(img, (size[1], size[0]),
+                           interpolation=cv2.INTER_AREA)
+        except Exception:
+            from PIL import Image
+            r = np.asarray(Image.fromarray(img).resize(
+                (size[1], size[0]), Image.BILINEAR))
+        out.append(r.astype(np.uint8))
+    return np.stack(out)
+
+
 def load_maskrcnn_sidecar(img_path: str, num_features: int):
     """Load `{img}_maskrcnn.npy` regional-feature sidecars written by the
     offline extractor (`datasets/processors.py:283-296`)."""

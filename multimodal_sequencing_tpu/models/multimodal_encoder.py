@@ -131,10 +131,15 @@ class MultimodalEncoder(nn.Module):
                                      dtype=ecfg.compute_dtype, name="pooler")
 
     def encode_visual(self, images, deterministic: bool = True):
-        """images: (B, N, 3, H, W) CHW float (loader layout) -> projected
-        visual token stream (B, N*grid^2 + 1, hidden)."""
+        """images: (B, N, 3, H, W) CHW float, or (B, N, H, W, 3) uint8 (the
+        low-bandwidth loader layout: normalize runs fused on device) ->
+        projected visual token stream (B, N*grid^2 + 1, hidden)."""
         cfg = self.cfg
         b, n = images.shape[:2]
+        if images.dtype == jnp.uint8:
+            from ..ops.preprocess import preprocess_uint8_images
+            images = preprocess_uint8_images(
+                images, size=images.shape[2:4])
         nhwc = jnp.transpose(
             images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))
         feats = self.visual_model(nhwc, skip_last_layer=False, img_len=n,

@@ -114,9 +114,11 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     t0 = time.time()
     aux_objs = set(cfg.hl_include_objectives or [])
     host_rng = np.random.default_rng(args.seed + 7)
+    from ..data.datasets import prefetch
     for epoch in range(epochs):
-        for batch in data_loader(train_dataset, batch_size, shuffle=True,
-                                 seed=args.seed, epoch=epoch):
+        for batch in prefetch(data_loader(
+                train_dataset, batch_size, shuffle=True,
+                seed=args.seed, epoch=epoch)):
             # host-side aux-objective surgery (`train.py:298-304`, itm swap)
             if "mlm" in aux_objs:
                 masked, mlabels = mask_tokens_sentence(

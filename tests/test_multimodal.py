@@ -149,3 +149,52 @@ def test_multimodal_train_step_descends(clip):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_uint8_image_path(tokenizer):
+    """uint8 loader layout -> on-device preprocessing matches the float
+    pipeline end to end."""
+    from multimodal_sequencing_tpu.ops.preprocess import (
+        preprocess_uint8_images)
+    cfg = _mm_cfg(clip="ViT-B/32")
+    enc = MultimodalEncoder(cfg, _vcfg("ViT-B/32"))
+    batch = _mm_batch(cfg)
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 255, (2, 3, 32, 32, 3), np.uint8)
+    # float pipeline equivalent
+    from multimodal_sequencing_tpu.data.images import (
+        IMAGENET_MEAN, IMAGENET_STD)
+    f32 = ((u8.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+           / IMAGENET_STD).transpose(0, 1, 4, 2, 3)
+    vars_ = enc.init(jax.random.PRNGKey(0), jnp.asarray(batch["input_ids"]),
+                     images=jnp.asarray(f32))
+    out_f = enc.apply(vars_, jnp.asarray(batch["input_ids"]),
+                      images=jnp.asarray(f32))
+    out_u = enc.apply(vars_, jnp.asarray(batch["input_ids"]),
+                      images=jnp.asarray(u8))
+    np.testing.assert_allclose(np.asarray(out_f[2]), np.asarray(out_u[2]),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_prefetch_loader_order_and_errors(wikihow_dir, tokenizer):
+    from multimodal_sequencing_tpu.data import (
+        HeadPredDataset, WikiHowGeneralProcessor)
+    from multimodal_sequencing_tpu.data.datasets import data_loader, prefetch
+    ex = WikiHowGeneralProcessor(data_dir=wikihow_dir).get_train_examples()
+    ds = HeadPredDataset(ex, tokenizer, max_length=64, per_seq_max_length=8,
+                         seed=0)
+    plain = [b["input_ids"] for b in data_loader(ds, 4, shuffle=True,
+                                                 seed=1)]
+    fetched = [b["input_ids"] for b in prefetch(
+        data_loader(ds, 4, shuffle=True, seed=1))]
+    assert len(plain) == len(fetched)
+    for a, b in zip(plain, fetched):
+        np.testing.assert_array_equal(a, b)
+
+    def boom():
+        yield {"x": 1}
+        raise RuntimeError("loader exploded")
+    it = prefetch(boom())
+    next(it)
+    with pytest.raises(RuntimeError):
+        list(it)
