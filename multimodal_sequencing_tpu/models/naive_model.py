@@ -43,6 +43,10 @@ class NaiveMultimodalModel(nn.Module):
 
         if images is not None:
             b, n = images.shape[:2]
+            if images.dtype == jnp.uint8:
+                from ..ops.preprocess import preprocess_uint8_images
+                images = preprocess_uint8_images(images,
+                                                 size=images.shape[2:4])
             nhwc = jnp.transpose(
                 images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))
             feats = ResNetBackbone(self.vision_name,

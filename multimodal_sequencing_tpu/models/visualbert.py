@@ -74,6 +74,10 @@ class VisualBERTEncoder(nn.Module):
         visn = None
         if images is not None and not cfg.multimodal_text_part:
             b, n = images.shape[:2]
+            if images.dtype == jnp.uint8:
+                from ..ops.preprocess import preprocess_uint8_images
+                images = preprocess_uint8_images(images,
+                                                 size=images.shape[2:4])
             nhwc = jnp.transpose(
                 images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))
             feats = ResNetBackbone(cfg.vision_model,

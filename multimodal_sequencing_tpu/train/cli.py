@@ -72,6 +72,9 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--include_num_img_regional_features", type=int, default=None)
     add("--include_full_img_features", action="store_true")
     add("--vision_image_size", type=int, default=224)
+    add("--device_image_preprocess", action="store_true",
+        help="ship uint8 images and normalize on device "
+             "(4x less H2D traffic)")
 
     # --- heads / decoding ----------------------------------------------------
     add("--hierarchical_version", type=str, default="v0",
@@ -285,6 +288,7 @@ def make_dataset(args, cfg, tokenizer, task_type, examples, scramble=True,
         min_story_length=args.min_story_length,
         seed=args.seed, multimodal=args.multimodal,
         image_size=(args.vision_image_size, args.vision_image_size),
+        uint8_images=getattr(args, "device_image_preprocess", False),
         num_img_regional_features=args.include_num_img_regional_features)
     if args.wrapper_model_type == "berson":
         return BersonDataset(examples, tokenizer, scramble=scramble,
