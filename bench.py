@@ -15,8 +15,6 @@ the BASELINE.json target is >=5x that, i.e. 150 stories/sec/chip.
 import json
 import time
 
-import numpy as np
-
 A100_BASELINE_STORIES_PER_SEC = 30.0
 
 

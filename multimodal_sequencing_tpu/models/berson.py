@@ -34,7 +34,7 @@ from flax import linen as nn
 
 from .config import MultimodalConfig
 from .clip_visual import CLIPVisionConfig
-from .encoder import TextEncoder, TransformerLayer, attention_bias_from_mask
+from .encoder import TextEncoder
 from .multimodal_encoder import MultimodalEncoder
 from .heads import HeatmapHead
 

@@ -24,7 +24,7 @@ collection (running averages frozen when `deterministic`).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,8 +12,6 @@ packing convention, SURVEY §2.6), so `type_vocab_size` is sized to
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -10,15 +10,13 @@ stream runs through the standard text encoder.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .config import MultimodalConfig
 from .encoder import Embeddings, TransformerLayer, attention_bias_from_mask
-from .resnet import ResNetBackbone, resnet_feature_dim
+from .resnet import ResNetBackbone
 from .heads import ClassificationHead
 
 

@@ -28,7 +28,7 @@ from flax import linen as nn
 
 from .config import MultimodalConfig
 from .clip_visual import CLIPVisionConfig
-from .encoder import TextEncoder, attention_bias_from_mask
+from .encoder import TextEncoder
 from .multimodal_encoder import MultimodalEncoder
 
 BINARY_OBJECTIVES = (

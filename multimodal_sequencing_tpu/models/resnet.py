@@ -9,8 +9,6 @@ weights can be converted with `convert_torchvision_resnet`.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

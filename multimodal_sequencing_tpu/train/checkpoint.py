@@ -14,7 +14,7 @@ import glob
 import json
 import os
 import re
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

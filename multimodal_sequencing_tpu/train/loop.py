@@ -14,14 +14,14 @@ import json
 import logging
 import os
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .state import make_train_state, make_optimizer
-from .steps import make_train_step, device_batch, eval_variables
+from .steps import make_train_step, device_batch
 from .checkpoint import save_checkpoint
 from .mlm import mask_tokens_sentence
 from .objectives import plan_objective, choose_objective
@@ -176,7 +176,6 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
     """Pretraining loop: per-batch host MLM masking + one random objective
     (`run_pretraining.py:107-370`, `modeling.py:1817-1818`). One jit
     specialization per objective signature."""
-    import optax
     from .state import TrainState
 
     mesh = mesh or make_mesh()

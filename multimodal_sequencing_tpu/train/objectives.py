@@ -29,7 +29,7 @@ the objectives the reference subsamples for.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

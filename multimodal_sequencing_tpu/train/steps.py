@@ -9,8 +9,7 @@ Buffers are donated so weights update in place in HBM.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
