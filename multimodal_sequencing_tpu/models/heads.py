@@ -112,14 +112,13 @@ class AuxObjectiveHeads(nn.Module):
                 jnp.float32)
         if "binary" in objs or "pairwise" in objs:
             n = step_reprs.shape[1]
-            iu, ju = np.triu_indices(n, k=1)
+            iu, ju = np.triu_indices(n, k=1)  # static; loss derives the same
             scorer = SimpleClassifier(h, 1, dtype=step_reprs.dtype,
                                       name="hl_bin_pred_layer")
             s = scorer(step_reprs, deterministic)[..., 0]  # (B, N)
             # logits per pair = (score_j, score_i): class 1 <=> i precedes j
             out["bin_logits"] = jnp.stack(
                 [s[:, ju], s[:, iu]], axis=-1).astype(jnp.float32)
-            out["bin_pairs"] = (iu, ju)
         if "itm" in objs:
             out["itm_logits"] = nn.Dense(
                 2, name="seq_relationship")(pooled).astype(jnp.float32)

@@ -82,7 +82,8 @@ def _aux_losses(cfg, outputs, batch, order_labels, metrics):
         metrics["aux_head"] = ce.mean()
         total = total + ce.mean()
     if ("binary" in objs or "pairwise" in objs) and "bin_logits" in outputs:
-        iu, ju = outputs["bin_pairs"]
+        import numpy as _np
+        iu, ju = _np.triu_indices(cfg.max_story_length, k=1)
         pos = jnp.argsort(order_labels, axis=1)  # node -> chain time
         lbl = (pos[:, iu] < pos[:, ju]).astype(jnp.int32)
         ce = optax.softmax_cross_entropy_with_integer_labels(
