@@ -181,6 +181,12 @@ class BersonOrdering(nn.Module):
     vision_cfg: Optional[CLIPVisionConfig] = None
     beam_size: int = 16
     pairwise_loss_lam: float = 0.6
+    # `--additional_wrapper_level_objectives time_contrastive`
+    # (`modeling_bert.py:1176-1216`)
+    time_contrastive: bool = False
+    # `--multimodal_loss`: image-stream pairwise CE
+    # (`modeling_bert.py:1218-1225,1358-1364`)
+    multimodal_loss: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -201,6 +207,9 @@ class BersonOrdering(nn.Module):
         self.decoder_cell = nn.OptimizedLSTMCell(h, name="decoder")
         if cfg.wrapper_model_with_heatmap:
             self.heatmap = HeatmapHead(cfg, name="heatmap")
+        if self.multimodal_loss:
+            self.img_projection = nn.Dense(h, name="img_projection")
+            self.img_pairwise = nn.Dense(2, name="img_pairwise_relationship")
 
     # ----- encoding ----------------------------------------------------------
 
@@ -213,13 +222,16 @@ class BersonOrdering(nn.Module):
         ids = flat(input_ids)
         attn = flat(batch["attention_mask"])
         types = flat(batch["token_type_ids"])
+        visn_cls = None
         if cfg.multimodal and batch.get("images") is not None:
             # per-pair image pairs: (B, N, C, H, W) -> (B, P, 2, C, H, W)
             pairs = jnp.asarray(berson_pairs(n))
             imgs = batch["images"][:, pairs]            # (B, P, 2, C, H, W)
             imgs = flat(imgs)                            # (B*P, 2, C, H, W)
-            lang, _, _ = self.inner(ids, attn, types, images=imgs,
-                                    deterministic=deterministic)
+            lang, visn, _ = self.inner(ids, attn, types, images=imgs,
+                                       deterministic=deterministic)
+            if visn is not None:
+                visn_cls = visn[:, 0].reshape(b, p, -1)  # image-stream CLS
         else:
             out = self.inner(ids, attn, types, deterministic=deterministic)
             lang = out[0]
@@ -237,10 +249,15 @@ class BersonOrdering(nn.Module):
         para_vec = para.sum(1) / jnp.maximum(num_sen, 1e-20)
         key = self.key_linear(jnp.concatenate([doc, para], axis=-1))
         hcn = (para_vec, jnp.zeros_like(para_vec))
-        return dict(doc=doc, key=key, hcn=hcn, cls_score=cls_score,
-                    cls_output_matrix=cls_out_m, cls_score_matrix=cls_score_m,
-                    his1_matrix=his1_m, his2_matrix=his2_m,
-                    mask_cls=mask_cls)
+        out = dict(doc=doc, key=key, hcn=hcn, cls_score=cls_score,
+                   cls_output_matrix=cls_out_m, cls_score_matrix=cls_score_m,
+                   his1_matrix=his1_m, his2_matrix=his2_m,
+                   mask_cls=mask_cls)
+        if self.multimodal_loss and visn_cls is not None:
+            # image-stream pairwise logits (`modeling_bert.py:1358-1364`)
+            out["cls_score_img"] = self.img_pairwise(
+                self.img_projection(visn_cls))
+        return out
 
     @staticmethod
     def rela_encode(cls_output_matrix, cls_score_matrix):
@@ -351,6 +368,43 @@ class BersonOrdering(nn.Module):
         loss = pointer_loss + self.pairwise_loss_lam * pairwise_loss
         out = {"loss": loss, "pointer_loss": pointer_loss,
                "pairwise_loss": pairwise_loss, "pointer_logits": logits}
+
+        if self.multimodal_loss and "cls_score_img" in enc:
+            # image-stream pairwise CE, same lam (`modeling_bert.py:1338-1346`)
+            img_logp = jax.nn.log_softmax(enc["cls_score_img"], axis=-1)
+            img_nll = -jnp.take_along_axis(
+                img_logp, plabels[:, :, None], axis=2)[..., 0].mean(1)
+            if valid is not None:
+                img_loss = (img_nll * valid.astype(jnp.float32)).sum() / (
+                    jnp.maximum(valid.sum(), 1))
+            else:
+                img_loss = img_nll.mean()
+            out["img_pairwise_loss"] = img_loss
+            loss = loss + self.pairwise_loss_lam * img_loss
+            out["loss"] = loss
+
+        if self.time_contrastive and "tc_anchor" in batch:
+            # 0.1x triplet loss over document vectors
+            # (`modeling_bert.py:1176-1216`): anchor/pos/neg are true-time
+            # positions mapped through the chain label to node indices
+            bidx2 = jnp.arange(b)
+            a_node = target[bidx2, batch["tc_anchor"].astype(jnp.int32)]
+            p_node = target[bidx2, batch["tc_positive"].astype(jnp.int32)]
+            g_node = target[bidx2, batch["tc_negative"].astype(jnp.int32)]
+            a = doc[bidx2, a_node]
+            p_ = doc[bidx2, p_node]
+            g = doc[bidx2, g_node]
+            d_ap = jnp.linalg.norm(a - p_, axis=-1)
+            d_an = jnp.linalg.norm(a - g, axis=-1)
+            tc = jnp.maximum(0.0, d_ap - d_an + 1.0)
+            if valid is not None:
+                tc_loss = (tc * valid.astype(jnp.float32)).sum() / (
+                    jnp.maximum(valid.sum(), 1))
+            else:
+                tc_loss = tc.mean()
+            out["time_contrastive_loss"] = tc_loss
+            loss = loss + 0.1 * tc_loss
+            out["loss"] = loss
 
         if cfg.wrapper_model_with_heatmap:
             from .sequencer import render_heatmap_targets

@@ -328,8 +328,12 @@ def build_model(cfg, args):
                 else CLIPVisionConfig.vit_b32(dtype=cfg.encoder.dtype))
         vcfg.image_resolution = args.vision_image_size
     if args.wrapper_model_type == "berson":
-        return BersonOrdering(cfg, vcfg, beam_size=args.beam_size,
-                              pairwise_loss_lam=args.pairwise_loss_lam)
+        extra = args.additional_wrapper_level_objectives or []
+        return BersonOrdering(
+            cfg, vcfg, beam_size=args.beam_size,
+            pairwise_loss_lam=args.pairwise_loss_lam,
+            time_contrastive=("time_contrastive" in extra),
+            multimodal_loss=getattr(args, "multimodal_loss", False))
     return SequencingModel(cfg, vcfg)
 
 
@@ -558,10 +562,22 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     rng = jax.random.PRNGKey(args.seed + 1)
     global_step = 0
     best_score = -float("inf")
+    tc_enabled = "time_contrastive" in (
+        args.additional_wrapper_level_objectives or [])
+    host_rng = np.random.default_rng(args.seed + 11)
     for epoch in range(epochs):
         for batch in data_loader(dataset, batch_size, shuffle=True,
                                  seed=args.seed, epoch=epoch,
                                  drop_last=False):
+            if tc_enabled:
+                from .objectives import plan_objective
+                _, tc = plan_objective("time_contrastive",
+                                       {"input_ids": np.asarray(
+                                           batch["input_ids"][:, 0])},
+                                       cfg, host_rng)
+                batch["tc_anchor"] = tc["anchor_idx"]
+                batch["tc_positive"] = tc["positive_idx"]
+                batch["tc_negative"] = tc["negative_idx"]
             db = shard_batch({k: v for k, v in batch.items()
                               if isinstance(v, np.ndarray)
                               and v.dtype != object}, mesh)

@@ -157,3 +157,23 @@ def test_berson_multimodal_clip(tokenizer):
     pred = model.apply(params, batch, method=BersonOrdering.beam_search)
     for row in np.asarray(pred):
         assert sorted(row.tolist()) == [0, 1, 2]
+
+
+def test_berson_time_contrastive_and_multimodal_loss(tokenizer):
+    from multimodal_sequencing_tpu.models.clip_visual import CLIPVisionConfig
+    cfg = _cfg(4, multimodal=True, clip_model_name="ViT-B/32",
+               image_size=(32, 32))
+    model = BersonOrdering(cfg, CLIPVisionConfig.tiny_vit(), beam_size=2,
+                           time_contrastive=True, multimodal_loss=True)
+    batch = _berson_batch(tokenizer, n=4, b=2)
+    rng = np.random.RandomState(0)
+    batch["images"] = jnp.asarray(
+        rng.randn(2, 4, 3, 32, 32).astype(np.float32))
+    batch["tc_anchor"] = jnp.asarray([1, 2], jnp.int32)
+    batch["tc_positive"] = jnp.asarray([0, 3], jnp.int32)
+    batch["tc_negative"] = jnp.asarray([3, 0], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(params, batch)
+    assert "time_contrastive_loss" in out
+    assert "img_pairwise_loss" in out
+    assert np.isfinite(float(out["loss"]))
