@@ -163,12 +163,14 @@ def build_config(args):
 
     tokenizer = load_tokenizer(args.tokenizer_name or args.model_name_or_path)
     vocab = len(tokenizer)
-    if args.model_size == "tiny":
-        enc = EncoderConfig.tiny(vocab_size=vocab)
-    elif args.model_size == "base":
-        enc = EncoderConfig.roberta_base(vocab_size=vocab)
-    else:
-        enc = EncoderConfig.roberta_large(vocab_size=vocab)
+    enc = _encoder_config_from_local_hf(args)
+    if enc is None:
+        if args.model_size == "tiny":
+            enc = EncoderConfig.tiny(vocab_size=vocab)
+        elif args.model_size == "base":
+            enc = EncoderConfig.roberta_base(vocab_size=vocab)
+        else:
+            enc = EncoderConfig.roberta_large(vocab_size=vocab)
     if args.replace_token_type_embeddings:
         enc.type_vocab_size = args.max_story_length
     cfg = MultimodalConfig(
@@ -202,6 +204,42 @@ def build_config(args):
         mlm_probability=args.mlm_probability,
     )
     return cfg, tokenizer
+
+
+def _encoder_config_from_local_hf(args):
+    """`--config_name <local dir with config.json>` -> EncoderConfig
+    (the reference's AutoConfig path, `train.py:1527-1539`)."""
+    import json
+    from ..models.config import EncoderConfig
+    for cand in (args.config_name, args.model_name_or_path):
+        if not cand or not os.path.isdir(cand):
+            continue
+        path = os.path.join(cand, "config.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            hf = json.load(f)
+        if "hidden_size" not in hf:
+            continue
+        model_type = hf.get("model_type", "roberta")
+        return EncoderConfig(
+            vocab_size=hf.get("vocab_size", 50265),
+            hidden_size=hf["hidden_size"],
+            num_hidden_layers=hf.get("num_hidden_layers", 12),
+            num_attention_heads=hf.get("num_attention_heads", 12),
+            intermediate_size=hf.get("intermediate_size",
+                                     4 * hf["hidden_size"]),
+            max_position_embeddings=hf.get("max_position_embeddings", 514),
+            type_vocab_size=hf.get("type_vocab_size", 1),
+            layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+            pad_token_id=hf.get("pad_token_id",
+                                1 if model_type == "roberta" else 0),
+            position_offset=2 if model_type == "roberta" else 0,
+            hidden_dropout_prob=hf.get("hidden_dropout_prob", 0.1),
+            attention_probs_dropout_prob=hf.get(
+                "attention_probs_dropout_prob", 0.1),
+        )
+    return None
 
 
 def _parse_task(args):

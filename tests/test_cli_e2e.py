@@ -247,3 +247,23 @@ def test_example_cache(wikihow_dir):
     assert ex1[0].guid == ex2[0].guid
     for c in caches:
         os.remove(c)
+
+
+def test_config_name_local_hf_dir(tmp_path, wikihow_dir):
+    import json
+    cfgdir = tmp_path / "hfcfg"
+    cfgdir.mkdir()
+    with open(cfgdir / "config.json", "w") as f:
+        json.dump({"model_type": "roberta", "vocab_size": 500,
+                   "hidden_size": 48, "num_hidden_layers": 3,
+                   "num_attention_heads": 4, "intermediate_size": 96,
+                   "max_position_embeddings": 130,
+                   "type_vocab_size": 1}, f)
+    args = build_parser().parse_args([
+        "--model_name_or_path", "simple", "--config_name", str(cfgdir),
+        "--data_dir", wikihow_dir])
+    cfg, tok = build_config(args)
+    assert cfg.encoder.hidden_size == 48
+    assert cfg.encoder.num_hidden_layers == 3
+    assert cfg.encoder.position_offset == 2
+    assert cfg.encoder.pad_token_id == 1
