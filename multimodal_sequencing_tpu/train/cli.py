@@ -407,6 +407,15 @@ def main_train(argv=None):
     if task_type == "hl_v1" and args.hierarchical_version == "v0":
         args.hierarchical_version = "v1"
         cfg.hierarchical_version = "v1"
+    # classification head width by task (`train.py:1544-1620` config copies)
+    if cfg.hierarchical_version == "v0":
+        if task_type == "pairwise" or task_type == "abductive":
+            cfg.num_labels = 2
+        elif task_type == "head":
+            cfg.num_labels = args.max_story_length
+        elif task_type == "pure_class":
+            import math
+            cfg.num_labels = math.factorial(args.max_story_length)
     examples = load_examples(args, data_name, task_type, args.train_split)
     model = build_model(cfg, args)
     dataset = make_dataset(args, cfg, tokenizer, task_type, examples)

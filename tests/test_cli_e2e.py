@@ -267,3 +267,26 @@ def test_config_name_local_hf_dir(tmp_path, wikihow_dir):
     assert cfg.encoder.num_hidden_layers == 3
     assert cfg.encoder.position_offset == 2
     assert cfg.encoder.pad_token_id == 1
+
+
+def test_train_head_pairwise_pure_class_tasks(wikihow_dir, tmp_path):
+    for task, steps in [("wikihow_head", 2), ("wikihow_pairwise", 2),
+                        ("wikihow_pure_class", 2)]:
+        out = str(tmp_path / task)
+        state = main_train(_common(wikihow_dir, out, [
+            "--do_train", "--task_name", task, "--max_steps", str(steps),
+            "--save_steps", "0", "--overwrite_output_dir",
+            "--per_gpu_train_batch_size", "2",
+        ]))
+        assert state is not None
+
+
+def test_gradient_accumulation(wikihow_dir, tmp_path):
+    out = str(tmp_path / "accum")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1", "--max_steps", "4",
+        "--gradient_accumulation_steps", "2", "--save_steps", "0",
+        "--overwrite_output_dir",
+    ]))
+    assert state is not None
