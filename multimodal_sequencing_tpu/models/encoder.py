@@ -21,6 +21,13 @@ from ..ops.attention import multihead_attention, NEG_INF
 
 
 class SelfAttention(nn.Module):
+    """Multi-head self attention.
+
+    Deviation from BERT noted: the reference applies dropout to the
+    attention probabilities (attention_probs_dropout_prob); here
+    regularization is folded into the output-projection dropout — prob
+    dropout would materialize S x S masks and defeat attention fusion.
+    A common performance-implementation trade; rates are configurable."""
     cfg: EncoderConfig
 
     @nn.compact
