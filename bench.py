@@ -42,7 +42,7 @@ def main():
         model, jax.random.PRNGKey(0), batch,
         tx=make_optimizer(learning_rate=5e-6, warmup_steps=10,
                           total_steps=1000))
-    step = make_train_step(cfg, mesh)
+    step = make_train_step(cfg, mesh, with_grad_norm=False)
     dbatch = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(1)
 

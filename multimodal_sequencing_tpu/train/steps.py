@@ -109,9 +109,12 @@ def _aux_losses(cfg, outputs, batch, order_labels, metrics):
     return total
 
 
-def make_train_step(cfg, mesh=None, donate: bool = True) -> Callable:
+def make_train_step(cfg, mesh=None, donate: bool = True,
+                    with_grad_norm: bool = True) -> Callable:
     """Build the jitted train step. With a mesh, inputs/outputs carry
-    NamedShardings (params replicated, batch data-sharded)."""
+    NamedShardings (params replicated, batch data-sharded).
+    `with_grad_norm=False` drops the grad-norm metric (one less full pass
+    over the gradients when XLA cannot CSE it with clipping)."""
 
     def step(state, batch, dropout_rng):
         mutable = list(state.model_state.keys())
@@ -146,7 +149,8 @@ def make_train_step(cfg, mesh=None, donate: bool = True) -> Callable:
         (loss, (metrics, new_mstate)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, model_state=new_mstate)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if with_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     if mesh is None:
