@@ -267,15 +267,28 @@ def load_pretrained_weights(params: Dict, args, cfg) -> Dict:
 
     cw = getattr(args, "clip_visual_model_weights", None)
     if cw and os.path.exists(cw):
-        sd = filter_visual_state_dict(load_torch_state_dict(cw))
         enc = dict(params.get("encoder", {}))
-        if cfg.clip_model_name.startswith("RN"):
-            conv = convert_clip_rn50(sd)
-            enc["visual_model"] = conv["params"]
-            # caller must merge conv["batch_stats"] into model_state
-            params["_clip_batch_stats"] = conv["batch_stats"]
+        if os.path.isdir(cw):
+            # one of OUR checkpoints (e.g. from image-only pretraining):
+            # restore just the visual tower subtree (the filtered-load
+            # analogue for the pretrain -> finetune visual transfer)
+            payload = _load_own_checkpoint_subtree(cw)
+            src_enc = payload["params"].get("encoder", {})
+            if "visual_model" in src_enc:
+                enc["visual_model"] = src_enc["visual_model"]
+            vstats = payload.get("model_state", {}).get(
+                "batch_stats", {}).get("encoder", {}).get("visual_model")
+            if vstats is not None:
+                params["_clip_batch_stats"] = vstats
         else:
-            enc["visual_model"] = convert_clip_vit(sd)
+            sd = filter_visual_state_dict(load_torch_state_dict(cw))
+            if cfg.clip_model_name.startswith("RN"):
+                conv = convert_clip_rn50(sd)
+                enc["visual_model"] = conv["params"]
+                # caller must merge conv["batch_stats"] into model_state
+                params["_clip_batch_stats"] = conv["batch_stats"]
+            else:
+                enc["visual_model"] = convert_clip_vit(sd)
         params["encoder"] = enc
         logger.info("loaded CLIP visual weights from %s", cw)
 
@@ -290,6 +303,18 @@ def load_pretrained_weights(params: Dict, args, cfg) -> Dict:
         params["_vision_batch_stats"] = stats
         logger.info("loaded vision backbone weights from %s", vc)
     return params
+
+
+def _load_own_checkpoint_subtree(ckpt_dir: str) -> Dict:
+    """Read a framework checkpoint (orbax StandardCheckpointer dir written
+    by train/checkpoint.py) without a state template, returning raw
+    {params, model_state} numpy trees."""
+    import orbax.checkpoint as ocp
+    import os
+    path = os.path.join(os.path.abspath(ckpt_dir), "state")
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(path)
+    return payload
 
 
 def load_torch_state_dict(path: str) -> Dict:

@@ -175,3 +175,64 @@ def test_pretrainer_text_only(tokenizer):
     losses = model.apply(variables, nb, "swapping_based_nsp", aux_j)
     assert np.isfinite(float(losses["loss"]))
     assert "mlm" in losses and "swapping_based_nsp" in losses
+
+
+def test_image_only_pretrain_and_visual_transfer(tmp_path):
+    """The wikihow_image_only_pretrain.sh flow: image-only pretraining
+    (patch-MRM, no MLM) -> visual weights filtered into a finetune state
+    via --clip_visual_model_weights pointing at our checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_sequencing_tpu.models.pretrainer import (
+        SequencingPretrainer)
+    from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+    from multimodal_sequencing_tpu.train.state import (
+        TrainState, make_optimizer, make_train_state)
+    from multimodal_sequencing_tpu.train.checkpoint import save_checkpoint
+    from multimodal_sequencing_tpu.models.convert import (
+        apply_pretrained_to_state)
+
+    cfg = _cfg(n=3, multimodal_img_part=True)
+    vcfg = CLIPVisionConfig.tiny_vit()
+    model = SequencingPretrainer(cfg, vcfg)
+    batch = _batch(cfg, b=2)
+    rng_np = np.random.default_rng(0)
+    nb, aux = plan_objective("patch_based_mrm_classification", batch, cfg,
+                             rng_np)
+    nbj = {k: jnp.asarray(v) for k, v in nb.items()}
+    auxj = {k: jnp.asarray(v) for k, v in aux.items()
+            if np.asarray(v).ndim > 0}
+    variables = dict(model.init(jax.random.PRNGKey(0), nbj,
+                                "patch_based_mrm_classification", auxj))
+    params = variables.pop("params")
+    losses = model.apply({"params": params, **variables}, nbj,
+                         "patch_based_mrm_classification", auxj,
+                         use_mlm=False)
+    assert np.isfinite(float(losses["loss"]))
+    assert "mlm" not in losses  # image-only: language is CLS-only
+
+    tx = make_optimizer()
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), model_state=variables,
+                       tx=tx, apply_fn=model.apply)
+    ckpt = save_checkpoint(str(tmp_path), 5, state, cfg=cfg)
+
+    # finetune model with the visual transfer
+    ft_cfg = _cfg(n=3, multimodal_img_part=False)
+    ft_model = SequencingModel(ft_cfg, vcfg)
+    ft_batch = _batch(ft_cfg, b=2)
+    ft_batch["labels"] = np.stack([np.random.RandomState(0).permutation(3)
+                                   for _ in range(2)]).astype(np.int32)
+    ft_state = make_train_state(ft_model, jax.random.PRNGKey(1), ft_batch,
+                                tx=make_optimizer())
+
+    class A:
+        model_name_or_path = "simple"
+        clip_visual_model_weights = ckpt
+        vision_model_checkpoint = None
+    ft_state2 = apply_pretrained_to_state(ft_state, A(), ft_cfg)
+    got = jax.tree.leaves(
+        ft_state2.params["encoder"]["visual_model"])[0]
+    want_tree = params["encoder"]["visual_model"]
+    want = jax.tree.leaves(want_tree)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
