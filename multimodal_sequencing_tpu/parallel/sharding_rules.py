@@ -1,0 +1,90 @@
+"""Parameter sharding rules for tensor parallelism.
+
+Megatron-style TP over the mesh `model` axis, applied by parameter path —
+no model-code changes; jit + XLA insert the collectives from the operand
+shardings:
+
+  attention query/key/value kernels  -> shard output dim   P(None, model)
+  attention out kernel               -> shard input dim    P(model, None)
+  MLP intermediate kernel            -> shard output dim   P(None, model)
+  MLP output kernel                  -> shard input dim    P(model, None)
+  matching biases of column-sharded layers -> P(model)
+  embeddings / LayerNorms / heads    -> replicated
+
+This is the standard column-then-row pairing, one all-reduce per matmul
+pair in fwd/bwd. The optimizer moments (mu/nu) carry the same path
+suffixes as their parameters, so one path-based rule shards the whole
+TrainState consistently. The reference has no TP (SURVEY §2.4); this is
+the growth path the 2-D mesh reserves.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+# (path suffix, spec)
+_RULES = [
+    (("attention", "query", "kernel"), P(None, MODEL_AXIS)),
+    (("attention", "key", "kernel"), P(None, MODEL_AXIS)),
+    (("attention", "value", "kernel"), P(None, MODEL_AXIS)),
+    (("attention", "query", "bias"), P(MODEL_AXIS)),
+    (("attention", "key", "bias"), P(MODEL_AXIS)),
+    (("attention", "value", "bias"), P(MODEL_AXIS)),
+    (("attention", "out", "kernel"), P(MODEL_AXIS, None)),
+    (("intermediate", "kernel"), P(None, MODEL_AXIS)),
+    (("intermediate", "bias"), P(MODEL_AXIS)),
+    (("output", "kernel"), P(MODEL_AXIS, None)),
+]
+
+
+def _path_names(path):
+    names = []
+    for p in path:
+        if hasattr(p, "key"):
+            names.append(str(p.key))
+        elif hasattr(p, "name"):
+            names.append(str(p.name))
+        elif hasattr(p, "idx"):
+            names.append(str(p.idx))
+        else:
+            names.append(str(p))
+    return tuple(names)
+
+
+def spec_for_path(path, leaf, mesh_model_size: int):
+    """PartitionSpec for one leaf by path suffix; replicate when the
+    sharded dimension would not divide evenly (or the leaf is scalar)."""
+    if not hasattr(leaf, "ndim") or leaf.ndim == 0:
+        return P()
+    names = _path_names(path)
+    for suffix, spec in _RULES:
+        k = len(suffix)
+        if len(names) >= k and names[-k:] == suffix:
+            axis_pos = list(spec).index(MODEL_AXIS)
+            if (axis_pos < leaf.ndim
+                    and leaf.shape[axis_pos] % mesh_model_size == 0):
+                return spec
+            return P()
+    return P()
+
+
+def tree_shardings(tree, mesh: Mesh):
+    """NamedSharding tree for any pytree (TrainState, params, opt state)
+    by path-suffix TP rules; everything unmatched is replicated."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    msize = sizes.get(MODEL_AXIS, 1)
+    if msize == 1:
+        return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(
+            mesh, spec_for_path(path, leaf, msize)), tree)
+
+
+def shard_state(state, mesh: Mesh):
+    """Place a TrainState onto the mesh with TP param/moment shardings."""
+    sh = tree_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, sh)

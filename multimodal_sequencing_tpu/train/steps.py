@@ -110,9 +110,12 @@ def _aux_losses(cfg, outputs, batch, order_labels, metrics):
 
 
 def make_train_step(cfg, mesh=None, donate: bool = True,
-                    with_grad_norm: bool = True) -> Callable:
+                    with_grad_norm: bool = True,
+                    state_shardings=None) -> Callable:
     """Build the jitted train step. With a mesh, inputs/outputs carry
-    NamedShardings (params replicated, batch data-sharded).
+    NamedShardings: batch data-sharded; params replicated by default or
+    TP-sharded when `state_shardings` (a NamedSharding tree over the
+    TrainState, see parallel/sharding_rules.tree_shardings) is given.
     `with_grad_norm=False` drops the grad-norm metric (one less full pass
     over the gradients when XLA cannot CSE it with clipping)."""
 
@@ -158,10 +161,15 @@ def make_train_step(cfg, mesh=None, donate: bool = True,
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
+    if state_shardings is None:
+        state_in = state_out = repl
+    else:
+        # tensor-parallel param/moment shardings (parallel/sharding_rules)
+        state_in = state_out = state_shardings
     return jax.jit(
         step,
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_in, data, repl),
+        out_shardings=(state_out, repl),
         donate_argnums=(0,) if donate else ())
 
 

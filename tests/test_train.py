@@ -117,3 +117,36 @@ def test_heatmap_eval_decodes_after_overfit(wikihow_dir, tokenizer):
     # overfit on 6 stories must beat the 0.2 positional chance rate solidly
     # (tiny 2-layer encoder, 150 steps: typically lands ~0.45-0.55)
     assert pm > 0.35, f"partial match {pm}"
+
+
+def test_tensor_parallel_matches_replicated(wikihow_dir, tokenizer):
+    """TP (data=4, model=2) computes the same loss as replicated DP —
+    the sharding rules change layout, not math."""
+    from multimodal_sequencing_tpu.parallel.sharding_rules import (
+        tree_shardings, shard_state, spec_for_path)
+    from jax.sharding import PartitionSpec as P
+
+    cfg, mesh_dp, batch, db_dp, state, step_dp = _setup(
+        wikihow_dir, tokenizer, "v1", lr=1e-3, total_steps=50, n_devices=8)
+    rng = jax.random.PRNGKey(1)
+    _, m_dp = step_dp(state, db_dp, rng)
+
+    cfg2, _, batch2, _, state2, _ = _setup(
+        wikihow_dir, tokenizer, "v1", lr=1e-3, total_steps=50, n_devices=1)
+    mesh_tp = make_mesh(n_data=4, n_model=2)
+    st_sh = tree_shardings(state2, mesh_tp)
+    state2 = shard_state(state2, mesh_tp)
+    from multimodal_sequencing_tpu.train.steps import make_train_step
+    step_tp = make_train_step(cfg2, mesh_tp, state_shardings=st_sh)
+    db_tp = shard_batch(device_batch(batch2), mesh_tp)
+    _, m_tp = step_tp(state2, db_tp, rng)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_tp["loss"]),
+                               rtol=1e-4)
+
+    # the rules actually shard: a qkv kernel gets P(None, 'model')
+    leaf = np.zeros((64, 64))
+    class K:  # fake DictKey
+        def __init__(self, key): self.key = key
+    spec = spec_for_path([K("encoder"), K("layer_0"), K("attention"),
+                          K("query"), K("kernel")], leaf, 2)
+    assert spec == P(None, "model")
