@@ -135,6 +135,9 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--eval_save_all_results", action="store_true")
 
     # --- eval-only -----------------------------------------------------------
+    add("--model_parallel_size", type=int, default=1,
+        help="mesh model-axis size; >1 shards qkv/MLP kernels "
+             "(Megatron-style TP, parallel/sharding_rules)")
     add("--prng_impl", type=str, default="rbg",
         choices=["threefry2x32", "rbg", "unsafe_rbg"],
         help="dropout PRNG; rbg uses the TPU hardware generator "

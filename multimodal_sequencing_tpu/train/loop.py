@@ -66,9 +66,10 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     gradient_accumulation_steps, logging_steps, save_steps, seed,
     output_dir, evaluate_during_training.
     """
-    mesh = mesh or make_mesh()
-    n_dev = int(np.prod(mesh.devices.shape))
-    batch_size = args.per_gpu_train_batch_size * n_dev
+    n_model = max(1, getattr(args, "model_parallel_size", 1))
+    mesh = mesh or make_mesh(n_model=n_model)
+    n_data = int(np.prod(mesh.devices.shape)) // n_model
+    batch_size = args.per_gpu_train_batch_size * n_data
     steps_per_epoch = max(1, len(train_dataset) // batch_size)
     if getattr(args, "max_steps", 0) and args.max_steps > 0:
         total_steps = args.max_steps
@@ -105,7 +106,12 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
             start_step = parse_step_from_name(latest)
             logger.info("resumed from %s at step %d", latest, start_step)
 
-    step_fn = make_train_step(cfg, mesh)
+    st_shardings = None
+    if n_model > 1:
+        from ..parallel.sharding_rules import tree_shardings, shard_state
+        st_shardings = tree_shardings(state, mesh)
+        state = shard_state(state, mesh)
+    step_fn = make_train_step(cfg, mesh, state_shardings=st_shardings)
     rng = jax.random.PRNGKey(args.seed + 1)
 
     writer = MetricWriter(os.path.join(args.output_dir, "logs"))

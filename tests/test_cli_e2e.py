@@ -290,3 +290,14 @@ def test_gradient_accumulation(wikihow_dir, tmp_path):
         "--overwrite_output_dir",
     ]))
     assert state is not None
+
+
+def test_train_with_model_parallel(wikihow_dir, tmp_path):
+    out = str(tmp_path / "tp")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1", "--max_steps", "2",
+        "--save_steps", "0", "--model_parallel_size", "2",
+        "--per_gpu_train_batch_size", "2", "--overwrite_output_dir",
+    ]))
+    assert state is not None
