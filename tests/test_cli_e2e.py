@@ -301,3 +301,20 @@ def test_train_with_model_parallel(wikihow_dir, tmp_path):
         "--per_gpu_train_batch_size", "2", "--overwrite_output_dir",
     ]))
     assert state is not None
+
+
+def test_eval_head_and_sequential_abductive(wikihow_dir, tmp_path):
+    out = str(tmp_path / "hsa")
+    results = main_eval(_common(wikihow_dir, out, [
+        "--task_name", "wikihow_sort",
+        "--sort_method", "head_and_sequential_abductive",
+        "--eval_splits", "dev", "--max_eval_steps", "1",
+    ]))
+    assert "dev" in results
+    out2 = str(tmp_path / "hat")
+    results2 = main_eval(_common(wikihow_dir, out2, [
+        "--task_name", "wikihow_sort",
+        "--sort_method", "head_and_topological",
+        "--eval_splits", "dev", "--max_eval_steps", "1",
+    ]))
+    assert "dev" in results2
