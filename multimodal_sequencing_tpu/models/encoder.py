@@ -31,7 +31,7 @@ class SelfAttention(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, hidden, bias, deterministic: bool = True):
+    def __call__(self, hidden, mask, deterministic: bool = True):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         dense = lambda name: nn.Dense(cfg.hidden_size, dtype=dtype,
@@ -43,7 +43,7 @@ class SelfAttention(nn.Module):
         h, d = cfg.num_attention_heads, cfg.head_dim
         split = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
         ctx = multihead_attention(
-            split(q), split(k), split(v), bias,
+            split(q), split(k), split(v), mask=mask,
             force_reference=not cfg.use_pallas_attention)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, dtype=dtype, name="out")(ctx)
@@ -56,11 +56,11 @@ class TransformerLayer(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
-    def __call__(self, hidden, bias, deterministic: bool = True):
+    def __call__(self, hidden, mask, deterministic: bool = True):
         cfg = self.cfg
         dtype = cfg.compute_dtype
         attn = SelfAttention(cfg, name="attention")(
-            hidden, bias, deterministic)
+            hidden, mask, deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
                               name="attention_ln")(hidden + attn)
         mlp = nn.Dense(cfg.intermediate_size, dtype=dtype,
@@ -131,13 +131,13 @@ class TextEncoder(nn.Module):
         if attention_mask is None:
             ref = input_ids if input_ids is not None else x[..., 0]
             attention_mask = jnp.ones(ref.shape[:2], jnp.int32)
-        bias = attention_bias_from_mask(attention_mask, cfg.compute_dtype)
 
         layer_cls = TransformerLayer
         if cfg.remat:
             layer_cls = nn.remat(TransformerLayer, static_argnums=(3,))
         for i in range(cfg.num_hidden_layers):
-            x = layer_cls(cfg, name=f"layer_{i}")(x, bias, deterministic)
+            x = layer_cls(cfg, name=f"layer_{i}")(x, attention_mask,
+                                                  deterministic)
 
         pooled = None
         if with_pool:

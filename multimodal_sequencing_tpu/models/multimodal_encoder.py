@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from .config import MultimodalConfig
 from .clip_visual import CLIPVisionConfig, CLIPVisualTower
-from .encoder import Embeddings, TransformerLayer, attention_bias_from_mask
+from .encoder import Embeddings, TransformerLayer
 
 
 class VisualFeatEncoder(nn.Module):
@@ -165,9 +165,8 @@ class MultimodalEncoder(nn.Module):
         else:
             joint = lang
             mask = attention_mask
-        bias = attention_bias_from_mask(mask, ecfg.compute_dtype)
         for layer in self.layers:
-            joint = layer(joint, bias, deterministic)
+            joint = layer(joint, mask, deterministic)
         lang_out = joint[:, :lang_len]
         visn_out = joint[:, lang_len:] if visn is not None else None
         pooled = nn.tanh(self.pooler_dense(lang_out[:, 0]))

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .config import MultimodalConfig
-from .encoder import Embeddings, TransformerLayer, attention_bias_from_mask
+from .encoder import Embeddings, TransformerLayer
 from .resnet import ResNetBackbone
 from .heads import ClassificationHead
 
@@ -61,11 +61,10 @@ class NaiveMultimodalModel(nn.Module):
                 [attention_mask,
                  jnp.ones((b, n), attention_mask.dtype)], axis=1)
 
-        bias = attention_bias_from_mask(attention_mask, ecfg.compute_dtype)
         x = embeds
         for i in range(ecfg.num_hidden_layers):
             x = TransformerLayer(ecfg, name=f"layer_{i}")(
-                x, bias, deterministic)
+                x, attention_mask, deterministic)
         pooled = nn.tanh(nn.Dense(ecfg.hidden_size, dtype=ecfg.compute_dtype,
                                   name="pooler")(x[:, 0]))
         logits = ClassificationHead(

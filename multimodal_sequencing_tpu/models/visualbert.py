@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .config import MultimodalConfig
-from .encoder import Embeddings, TransformerLayer, attention_bias_from_mask
+from .encoder import Embeddings, TransformerLayer
 from .resnet import ResNetBackbone
 
 
@@ -112,10 +112,9 @@ class VisualBERTEncoder(nn.Module):
         else:
             joint, mask = lang, attention_mask
 
-        bias = attention_bias_from_mask(mask, ecfg.compute_dtype)
         for i in range(ecfg.num_hidden_layers):
             joint = TransformerLayer(ecfg, name=f"layer_{i}")(
-                joint, bias, deterministic)
+                joint, mask, deterministic)
         lang_out = joint[:, :lang_len]
         visn_out = joint[:, lang_len:] if visn is not None else None
         pooled = nn.tanh(nn.Dense(ecfg.hidden_size, dtype=ecfg.compute_dtype,

@@ -1,16 +1,19 @@
 """Fused multi-head attention for TPU.
 
-The encoder hot op. On TPU this runs a Pallas flash-attention kernel
-(online-softmax, K/V streamed through VMEM in blocks, fp32 accumulation on
-the MXU); elsewhere (CPU tests, interpret mode) a jnp reference path with
-identical semantics. Replaces the reference's
-`torch.nn.functional.softmax(QK^T)V` BertSelfAttention
-(`/root/reference/models/CLIP/src/lxrt/modeling.py` BertAttention et al.)
-with a bandwidth-optimal fused kernel.
+The encoder hot op. Two paths with identical semantics:
+  * `attention_reference` — XLA's fused attention from an einsum/softmax
+    formulation. On v5e this is the fastest choice at the product's
+    sequence lengths (measured fwd, chained: S=384 53.5ms full-encoder vs
+    61.5ms pallas; S=1024 2.79 vs 3.44ms; S=2048 7.58 vs 8.02ms).
+  * `flash_attention` — Pallas online-softmax kernel taking the raw (B, S)
+    key mask (NOT an S x S bias: streaming a materialized bias costs S^2
+    HBM traffic, which is what makes naive flash kernels lose). Kept for
+    long-sequence / memory-bound regimes and as the building block for
+    future context-parallel sharding.
 
-Shapes: q, k, v are (B, H, S, D); `bias` is an additive mask broadcastable to
-(B, 1, S, S) (0 for keep, large-negative for masked). S is padded by the
-caller to a multiple of the block size on the TPU path.
+Dispatch: XLA below PALLAS_MIN_SEQ, Pallas above (block-aligned shapes).
+Replaces the reference's torch softmax attention
+(`/root/reference/models/CLIP/src/lxrt/modeling.py` BertAttention et al.).
 """
 
 from __future__ import annotations
@@ -31,22 +34,27 @@ except ImportError:  # pragma: no cover
 NEG_INF = -1e9  # matches the reference's -10000-style additive masks
 
 
-def attention_reference(q, k, v, bias: Optional[jax.Array] = None):
-    """jnp reference path (and CPU fallback)."""
+def attention_reference(q, k, v, mask: Optional[jax.Array] = None,
+                        bias: Optional[jax.Array] = None):
+    """XLA path. `mask`: (B, S) keep-mask over keys; `bias`: additive,
+    broadcastable to (B, 1, S, S) (legacy callers)."""
     dtype = q.dtype
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = logits + jnp.where(
+            mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bhst,bhtd->bhsd", probs.astype(dtype), v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
+def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
                   *, block_k: int, seq_len: int, scale: float):
-    """One (batch*head, q-block) program: online-softmax accumulation over
-    K/V blocks. All refs are VMEM blocks; accumulation in fp32."""
+    """One (batch, head, q-block) program: online softmax over K/V blocks.
+    mask_ref is the (1, S) key keep-mask for this batch row."""
     q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
     block_q, d = q.shape
     num_kb = seq_len // block_k
@@ -58,8 +66,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (block_q, block_k)
-        s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(
-            jnp.float32)
+        keep = mask_ref[0, pl.ds(kb * block_k, block_k)] != 0
+        s = jnp.where(keep[None, :], s, NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
@@ -77,16 +85,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q, k, v, bias=None, block_q: int = 128,
-                    block_k: int = 128):
-    """Pallas flash attention. q,k,v: (B, H, S, D); bias broadcastable to
-    (B, 1, S, S) additive. S must divide by the block sizes (caller pads)."""
+def flash_attention(q, k, v, mask=None, block_q: int = 512,
+                    block_k: int = 512):
+    """Pallas flash attention. q,k,v: (B, H, S, D); mask: (B, S) key
+    keep-mask ({0,1}). S must divide by the block sizes (caller pads;
+    padded keys must be masked off)."""
     b, h, s, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
     assert s % block_q == 0 and s % block_k == 0, (
         f"seq {s} must be a multiple of block sizes")
-    if bias is None:
-        bias = jnp.zeros((b, 1, s, s), q.dtype)
-    bias = jnp.broadcast_to(bias, (b, 1, s, s))
+    if mask is None:
+        mask = jnp.ones((b, s), jnp.int32)
+    mask = mask.astype(jnp.int32)
 
     bh = b * h
     qf = q.reshape(bh, s, d)
@@ -101,33 +112,33 @@ def flash_attention(q, k, v, bias=None, block_q: int = 128,
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, s), lambda i, j: (i // h, 0)),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),
-            # bias is (B, 1, S, S): pick the batch row for this (b*h) program
-            pl.BlockSpec((1, block_q, s), lambda i, j: (i // h, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-    )(qf, kf, vf, bias.reshape(b, s, s))
+    )(mask, qf, kf, vf)
     return out.reshape(b, h, s, d)
 
 
 @jax.custom_vjp
-def _flash_attention_ad(q, k, v, bias):
-    return flash_attention(q, k, v, bias)
+def _flash_attention_ad(q, k, v, mask):
+    return flash_attention(q, k, v, mask)
 
 
-def _flash_fwd(q, k, v, bias):
-    return flash_attention(q, k, v, bias), (q, k, v, bias)
+def _flash_fwd(q, k, v, mask):
+    return flash_attention(q, k, v, mask), (q, k, v, mask)
 
 
 def _flash_bwd(res, g):
     # Backward via the reference formulation (XLA-fused softmax attention):
     # exact gradients; a dedicated Pallas backward kernel can replace this
     # without touching callers.
-    q, k, v, bias = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: attention_reference(q_, k_, v_, bias),
-                     q, k, v)
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(q_, k_, v_, mask=mask),
+        q, k, v)
     dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
@@ -139,20 +150,21 @@ def _use_pallas() -> bool:
     return pltpu is not None and jax.default_backend() == "tpu"
 
 
-# Below this sequence length XLA's fused attention wins: the flash kernel's
-# per-program tiles are too small to feed the MXU (measured on v5e at
-# S=384/D=64: XLA 53.5ms vs Pallas 61.5ms full-encoder fwd+bwd). The flash
-# kernel pays off once the S x S score matrix stops fitting comfortably.
-PALLAS_MIN_SEQ = 1024
+# Below this sequence length XLA's fused attention wins on v5e (see module
+# docstring measurements); the flash kernel pays off in memory-bound
+# regimes beyond it.
+PALLAS_MIN_SEQ = 8192
 
 
-def multihead_attention(q, k, v, bias=None, force_reference: bool = False):
+def multihead_attention(q, k, v, mask=None, bias=None,
+                        force_reference: bool = False):
     """Dispatch: Pallas flash kernel on TPU for long block-aligned
-    sequences, XLA fused attention otherwise."""
+    sequences with a plain key mask, XLA fused attention otherwise."""
     s = q.shape[2]
-    if (not force_reference and _use_pallas() and s % 128 == 0
-            and s >= PALLAS_MIN_SEQ and q.shape == k.shape == v.shape):
-        if bias is None:
-            bias = jnp.zeros((q.shape[0], 1, s, s), q.dtype)
-        return _flash_attention_ad(q, k, v, bias)
-    return attention_reference(q, k, v, bias)
+    if (not force_reference and _use_pallas() and bias is None
+            and s % 512 == 0 and s >= PALLAS_MIN_SEQ
+            and q.shape == k.shape == v.shape):
+        if mask is None:
+            mask = jnp.ones((q.shape[0], s), jnp.int32)
+        return _flash_attention_ad(q, k, v, mask)
+    return attention_reference(q, k, v, mask=mask, bias=bias)

@@ -50,15 +50,19 @@ def test_attention_reference_masking():
     q = jax.random.normal(rng, (2, 4, 8, 16))
     k = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 8, 16))
     v = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 16))
-    bias = jnp.zeros((2, 1, 8, 8)).at[:, :, :, 4:].set(-1e9)
-    out = attention_reference(q, k, v, bias)
+    mask = jnp.ones((2, 8), jnp.int32).at[:, 4:].set(0)
+    out = attention_reference(q, k, v, mask=mask)
     # masked keys don't affect output: perturb masked v positions
     v2 = v.at[:, :, 4:].add(100.0)
-    out2 = attention_reference(q, k, v2, bias)
+    out2 = attention_reference(q, k, v2, mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
     # dispatch falls back to reference off-TPU
-    out3 = multihead_attention(q, k, v, bias)
+    out3 = multihead_attention(q, k, v, mask=mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out3), atol=1e-5)
+    # bias and mask agree
+    bias = jnp.zeros((2, 1, 8, 8)).at[:, :, :, 4:].set(-1e9)
+    out4 = attention_reference(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out4), atol=1e-5)
 
 
 def test_gather_step_cls():
