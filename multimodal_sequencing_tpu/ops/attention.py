@@ -2,14 +2,15 @@
 
 The encoder hot op. Two paths with identical semantics:
   * `attention_reference` — XLA's fused attention from an einsum/softmax
-    formulation. On v5e this is the fastest choice at the product's
-    sequence lengths (measured fwd, chained: S=384 53.5ms full-encoder vs
-    61.5ms pallas; S=1024 2.79 vs 3.44ms; S=2048 7.58 vs 8.02ms).
+    formulation; fastest at the product's short sequences (chained fwd
+    measurements on v5e, B=2 H=16 D=64: S=2048 XLA 3.12ms vs Pallas
+    3.28ms).
   * `flash_attention` — Pallas online-softmax kernel taking the raw (B, S)
     key mask (NOT an S x S bias: streaming a materialized bias costs S^2
-    HBM traffic, which is what makes naive flash kernels lose). Kept for
-    long-sequence / memory-bound regimes and as the building block for
-    future context-parallel sharding.
+    HBM traffic, which is what makes naive flash kernels lose). Wins past
+    the ~4k crossover (S=4096: Pallas 8.15ms vs XLA 8.68ms; bf16 max
+    deviation vs reference 2e-3) and is the building block for future
+    context-parallel sharding.
 
 Dispatch: XLA below PALLAS_MIN_SEQ, Pallas above (block-aligned shapes).
 Replaces the reference's torch softmax attention
@@ -66,7 +67,7 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (block_q, block_k)
-        keep = mask_ref[0, pl.ds(kb * block_k, block_k)] != 0
+        keep = mask_ref[0, 0, pl.ds(kb * block_k, block_k)] != 0
         s = jnp.where(keep[None, :], s, NEG_INF)
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -97,7 +98,8 @@ def flash_attention(q, k, v, mask=None, block_q: int = 512,
         f"seq {s} must be a multiple of block sizes")
     if mask is None:
         mask = jnp.ones((b, s), jnp.int32)
-    mask = mask.astype(jnp.int32)
+    # (B, 1, S): satisfies the TPU block-shape sublane constraint
+    mask = mask.astype(jnp.int32).reshape(b, 1, s)
 
     bh = b * h
     qf = q.reshape(bh, s, d)
@@ -112,7 +114,7 @@ def flash_attention(q, k, v, mask=None, block_q: int = 512,
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, s), lambda i, j: (i // h, 0)),
+            pl.BlockSpec((1, 1, s), lambda i, j: (i // h, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),
@@ -151,9 +153,8 @@ def _use_pallas() -> bool:
 
 
 # Below this sequence length XLA's fused attention wins on v5e (see module
-# docstring measurements); the flash kernel pays off in memory-bound
-# regimes beyond it.
-PALLAS_MIN_SEQ = 8192
+# docstring measurements); the flash kernel wins past the crossover.
+PALLAS_MIN_SEQ = 4096
 
 
 def multihead_attention(q, k, v, mask=None, bias=None,
