@@ -56,7 +56,7 @@ def _batched_apply(apply_fn, variables, feed: Dict[str, np.ndarray],
     """Run a (possibly huge) flat batch through the model in fixed-size
     micro-batches (pad the tail) so only one jit signature compiles."""
     n = feed["input_ids"].shape[0]
-    outs = []
+    outs, sizes = [], []
     for start in range(0, n, micro_batch):
         chunk = {k: v[start:start + micro_batch] for k, v in feed.items()}
         m = chunk["input_ids"].shape[0]
@@ -64,9 +64,12 @@ def _batched_apply(apply_fn, variables, feed: Dict[str, np.ndarray],
             chunk = {k: np.concatenate(
                 [v, np.repeat(v[-1:], micro_batch - m, axis=0)])
                 for k, v in chunk.items()}
-        out = apply_fn(variables, chunk)
-        outs.append(jax.device_get(out)[:m])
-    return np.concatenate(outs, axis=0)
+        # enqueue async; fetch once at the end (a device_get per chunk
+        # costs a full tunnel round trip each)
+        outs.append(apply_fn(variables, chunk))
+        sizes.append(m)
+    outs = jax.device_get(outs)
+    return np.concatenate([o[:m] for o, m in zip(outs, sizes)], axis=0)
 
 
 class SortEvaluator:
@@ -99,10 +102,14 @@ class SortEvaluator:
         diagonal is 0. Also returns the full 2-class logits via the last
         axis when needed."""
         n = self.cfg.max_story_length
+        # a pair needs at most 2*per_seq_max_length tokens; padding to the
+        # full story length (like the reference does) is dead compute
+        pair_len = min(self.cfg.max_seq_length,
+                       -(-2 * self.cfg.per_seq_max_length // 64) * 64)
         packs, img_feed = [], []
         for b, texts in enumerate(stories):
             ii, am, tt, idx = self.packer.pack_all_pairs(
-                texts, self.cfg.max_seq_length)
+                texts, pair_len)
             packs.append((ii, am, tt))
             if images is not None:
                 img_feed.append(images[b][idx])  # (P, 2, C, H, W)
@@ -117,8 +124,7 @@ class SortEvaluator:
         fn = self._logits_fn(model, variables, 2 if images is not None else 0)
         logits = _batched_apply(fn, variables, feed, self.micro_batch)
         logits = logits.reshape(len(stories), P, -1)
-        pair_idx = self.packer.pack_all_pairs(stories[0],
-                                              self.cfg.max_seq_length)[3]
+        pair_idx = self.packer.pack_all_pairs(stories[0], pair_len)[3]
         mat = np.zeros((len(stories), n, n), np.float32)
         cls2 = np.zeros((len(stories), n, n, 2), np.float32)
         for p, (i, j) in enumerate(pair_idx):
