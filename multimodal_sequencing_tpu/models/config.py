@@ -37,6 +37,9 @@ class EncoderConfig:
     dtype: str = "bfloat16"          # activation/compute dtype
     remat: bool = False               # jax.checkpoint each layer
     use_pallas_attention: bool = True
+    # tanh-approximate GELU (cheaper on the VPU than erf; HF parity needs
+    # erf, so conversion-loaded models should keep False)
+    gelu_approximate: bool = False
 
     @property
     def compute_dtype(self):

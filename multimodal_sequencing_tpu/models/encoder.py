@@ -65,7 +65,7 @@ class TransformerLayer(nn.Module):
                               name="attention_ln")(hidden + attn)
         mlp = nn.Dense(cfg.intermediate_size, dtype=dtype,
                        name="intermediate")(hidden)
-        mlp = nn.gelu(mlp, approximate=False)
+        mlp = nn.gelu(mlp, approximate=cfg.gelu_approximate)
         mlp = nn.Dense(cfg.hidden_size, dtype=dtype, name="output")(mlp)
         mlp = nn.Dropout(cfg.hidden_dropout_prob)(
             mlp, deterministic=deterministic)

@@ -135,6 +135,9 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--eval_save_all_results", action="store_true")
 
     # --- eval-only -----------------------------------------------------------
+    add("--gelu_approximate", action="store_true",
+        help="tanh-approximate GELU (~17%% faster steps on v5e; keep off "
+             "when continuing from converted HF checkpoints)")
     add("--model_parallel_size", type=int, default=1,
         help="mesh model-axis size; >1 shards qkv/MLP kernels "
              "(Megatron-style TP, parallel/sharding_rules)")
@@ -176,6 +179,8 @@ def build_config(args):
             enc = EncoderConfig.roberta_large(vocab_size=vocab)
     if args.replace_token_type_embeddings:
         enc.type_vocab_size = args.max_story_length
+    if getattr(args, "gelu_approximate", False):
+        enc.gelu_approximate = True
     cfg = MultimodalConfig(
         encoder=enc,
         max_story_length=args.max_story_length,
