@@ -542,7 +542,13 @@ def _make_dev_eval_fn(args, cfg, tokenizer, model, data_name):
         loader = data_loader(ds, args.per_gpu_eval_batch_size)
         return evaluator.evaluate(
             loader, method, {role: (model, variables)},
-            max_batches=args.max_eval_steps, args_ns=args)
+            max_batches=args.max_eval_steps, args_ns=args,
+            # per-sample CSV/orders when requested (`--eval_save_all_results`,
+            # reference train.py:583-612)
+            output_dir=(args.output_dir
+                        if getattr(args, "eval_save_all_results", False)
+                        else None),
+            data_split=split)
 
     return eval_fn
 

@@ -166,3 +166,43 @@ def test_all_permutations_lexicographic():
     p = all_permutations(3)
     assert p.shape == (6, 3)
     assert p[0].tolist() == [0, 1, 2] and p[-1].tolist() == [2, 1, 0]
+
+
+def test_device_decoders_vs_bruteforce():
+    """Device decode programs vs brute-force optima on random heatmaps."""
+    from itertools import permutations
+    rng = np.random.RandomState(11)
+    for n in (3, 4):
+        hms = rng.rand(6, n, n).astype(np.float32)
+        for b in range(6):
+            np.fill_diagonal(hms[b], 0.0)
+        # exhaustive chain_logprob == brute force argmax
+        pred = np.asarray(exhaustive_order_decode(
+            jnp.asarray(hms), n, mode="chain_logprob"))
+        for b in range(6):
+            best, best_s = None, -np.inf
+            for perm in permutations(range(n)):
+                s = sum(np.log(hms[b, perm[t], perm[t + 1]] + 1e-8)
+                        for t in range(n - 1))
+                if s > best_s:
+                    best, best_s = list(perm), s
+            assert pred[b].tolist() == best
+        # allpairs mode == brute force over pair sums
+        pred2 = np.asarray(exhaustive_order_decode(
+            jnp.asarray(hms), n, mode="allpairs"))
+        for b in range(6):
+            best, best_s = None, -np.inf
+            for perm in permutations(range(n)):
+                s = sum(np.log(hms[b, perm[i], perm[j]] + 1e-8)
+                        for i in range(n) for j in range(i + 1, n))
+                if s > best_s:
+                    best, best_s = list(perm), s
+            assert pred2[b].tolist() == best
+        # greedy always emits a permutation
+        g = np.asarray(greedy_order_decode(jnp.asarray(hms), n))
+        for b in range(6):
+            assert sorted(g[b].tolist()) == list(range(n))
+        # Kahn decode emits permutations too
+        t = np.asarray(topological_decode_batch(jnp.asarray(hms), n))
+        for b in range(6):
+            assert sorted(t[b].tolist()) == list(range(n))
