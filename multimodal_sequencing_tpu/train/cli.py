@@ -742,11 +742,41 @@ def main_eval(argv=None):
         "berson": ["berson"],
     }
     roles = role_by_method[args.sort_method]
-    paths = [args.model_name_or_path_1 or args.model_name_or_path,
-             args.model_name_or_path_2, args.model_name_or_path_3]
-    for role, path in zip(roles, paths):
-        models[role] = load_model_for_eval(cfg, args, role, path)
+    base_path = args.model_name_or_path_1 or args.model_name_or_path
 
+    # --eval_all_checkpoints / --iters_to_eval: iterate checkpoints under
+    # the given run directory for the primary model
+    # (`eval.py --eval_on_every_iter`, `train.py:2168-2186`)
+    primary_paths = [base_path]
+    if args.eval_all_checkpoints or args.iters_to_eval:
+        from .checkpoint import find_checkpoints
+        root = base_path if base_path and os.path.isdir(base_path) \
+            else args.output_dir
+        found = find_checkpoints(
+            root, None if args.eval_all_checkpoints else args.iters_to_eval)
+        if found:
+            primary_paths = found
+
+    all_results = {}
+    for primary in primary_paths:
+        paths = [primary, args.model_name_or_path_2,
+                 args.model_name_or_path_3]
+        for role, path in zip(roles, paths):
+            models[role] = load_model_for_eval(cfg, args, role, path)
+        tag = os.path.basename(str(primary).rstrip("/")) \
+            if len(primary_paths) > 1 else None
+        res = _eval_splits(args, cfg, tokenizer, data_name, evaluator,
+                           models, tag)
+        if tag:
+            all_results[tag] = res
+        else:
+            all_results = res
+    return all_results
+
+
+def _eval_splits(args, cfg, tokenizer, data_name, evaluator, models, tag):
+    from ..data.datasets import SortDataset, data_loader
+    splits = args.data_splits or args.eval_splits
     results = {}
     for split in splits:
         examples = load_examples(args, data_name, "sort", split)
@@ -759,9 +789,10 @@ def main_eval(argv=None):
         res = evaluator.evaluate(
             loader, args.sort_method, models,
             metrics=args.metrics, output_dir=args.output_dir,
-            data_split=split, max_batches=args.max_eval_steps, args_ns=args)
+            data_split=split if tag is None else f"{split}_{tag}",
+            max_batches=args.max_eval_steps, args_ns=args)
         results[split] = res
-        logger.info("split %s: %s", split, res)
+        logger.info("%ssplit %s: %s", f"[{tag}] " if tag else "", split, res)
     return results
 
 

@@ -318,3 +318,20 @@ def test_eval_head_and_sequential_abductive(wikihow_dir, tmp_path):
         "--eval_splits", "dev", "--max_eval_steps", "1",
     ]))
     assert "dev" in results2
+
+
+def test_eval_all_checkpoints(wikihow_dir, tmp_path):
+    out = str(tmp_path / "multi_ckpt")
+    main_train(_common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1", "--max_steps", "4",
+        "--save_steps", "2", "--overwrite_output_dir",
+    ]))
+    results = main_eval(_common(wikihow_dir, out, [
+        "--task_name", "wikihow_sort", "--sort_method", "heat_map",
+        "--model_name_or_path_1", out, "--eval_all_checkpoints",
+        "--eval_splits", "dev", "--max_eval_steps", "1",
+    ]))
+    # one result block per checkpoint tag
+    assert len(results) >= 2
+    assert all("dev" in r for r in results.values())
