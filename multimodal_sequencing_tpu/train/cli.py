@@ -706,10 +706,33 @@ def main_pretrain(argv=None):
                 else CLIPVisionConfig.vit_b32(dtype=cfg.encoder.dtype))
         vcfg.image_resolution = args.vision_image_size
     model = SequencingPretrainer(cfg, vcfg)
-    from .loop import run_pretraining
+    from .loop import run_pretraining, evaluate_pretraining
+    dev_dataset = None
+    if args.evaluate_during_training or args.do_eval:
+        # dev-eval mirrors the reference's pretrain evaluate loop
+        # (`run_pretraining.py:377-497`): MLM loss + perplexity on dev
+        try:
+            dev_examples = load_examples(args, names[0], "pretrain",
+                                         args.eval_splits[0])
+            dev_dataset = make_dataset(args, cfg, tokenizer, "pretrain",
+                                       dev_examples, scramble=False)
+        except Exception as e:
+            logger.warning("no pretrain dev split (%s); eval disabled", e)
     state, steps = run_pretraining(cfg, model, dataset, args,
-                                   tokenizer=tokenizer)
+                                   tokenizer=tokenizer,
+                                   dev_dataset=dev_dataset)
     logger.info("pretraining done at step %d", steps)
+    if args.do_eval and dev_dataset is not None:
+        res = evaluate_pretraining(
+            cfg, state, args, dev_dataset,
+            use_mlm="no_mlm" not in (cfg.multimodal_pretrain_objectives
+                                     or []),
+            max_eval_steps=args.max_eval_steps)
+        logger.info("pretrain eval: %s", res)
+        with open(os.path.join(args.output_dir,
+                               "eval_results_pretrain.txt"), "w") as f:
+            for k, v in res.items():
+                f.write(f"{k} = {v}\n")
     return state
 
 

@@ -25,7 +25,7 @@ from .steps import make_train_step, device_batch
 from .checkpoint import save_checkpoint
 from .mlm import mask_tokens_sentence
 from .objectives import plan_objective, choose_objective
-from ..data.datasets import data_loader
+from ..data.datasets import data_loader, prefetch
 from ..parallel.mesh import make_mesh, shard_batch
 
 logger = logging.getLogger(__name__)
@@ -120,7 +120,6 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     t0 = time.time()
     aux_objs = set(cfg.hl_include_objectives or [])
     host_rng = np.random.default_rng(args.seed + 7)
-    from ..data.datasets import prefetch
     for epoch in range(epochs):
         for batch in prefetch(data_loader(
                 train_dataset, batch_size, shuffle=True,
@@ -177,12 +176,73 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     return state, global_step
 
 
+def evaluate_pretraining(cfg, state, args, dev_dataset, *, mesh=None,
+                         use_mlm: bool = True, seed: int = 0,
+                         max_eval_steps=None):
+    """Pretraining dev evaluation: masked-LM loss + perplexity over a dev
+    split, mirroring the reference's pretrain evaluate
+    (`run_pretraining.py:377-497`, which reports `{task}_loss` and a
+    perplexity slot — stubbed 0.0 there; here exp(mlm loss)). Runs the
+    MLM-only objective deterministically with a fixed host masking rng."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+
+    mesh = mesh or make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    batch_size = getattr(args, "per_gpu_eval_batch_size", None) or \
+        args.per_gpu_train_batch_size
+    batch_size *= n_dev
+    host_rng = np.random.default_rng(seed)
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    def eval_losses(params, model_state, batch):
+        v = {"params": params, **model_state}
+        return state.apply_fn(v, batch, "mlm_only", {}, deterministic=True,
+                              use_mlm=use_mlm)
+
+    eval_step = jax.jit(eval_losses,
+                        in_shardings=(repl, repl, data),
+                        out_shardings=repl)
+
+    totals, n_batches = {}, 0
+    for batch in data_loader(dev_dataset, batch_size):
+        nb = {k: np.asarray(v) for k, v in batch.items()
+              if k in ("input_ids", "attention_mask", "token_type_ids",
+                       "images")}
+        masked, labels = mask_tokens_sentence(
+            nb["input_ids"], mlm_probability=args.mlm_probability,
+            pad_id=cfg.pad_id, cls_id=cfg.cls_id, mask_id=cfg.mask_id,
+            vocab_size=cfg.encoder.vocab_size,
+            ignore_index=cfg.mlm_ignore_index, rng=host_rng)
+        nb["input_ids"] = masked
+        nb["mlm_labels"] = labels
+        losses = eval_step(state.params, state.model_state,
+                           shard_batch(nb, mesh))
+        for k, v in losses.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+        n_batches += 1
+        if max_eval_steps and n_batches >= max_eval_steps:
+            break
+    if n_batches == 0:
+        return {}
+    res = {f"eval_{k}": v / n_batches for k, v in totals.items()}
+    if "eval_mlm" in res:
+        res["eval_perplexity"] = float(np.exp(min(res["eval_mlm"], 30.0)))
+    return res
+
+
 def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
-                    mesh=None):
+                    mesh=None, dev_dataset=None):
     """Pretraining loop: per-batch host MLM masking + one random objective
     (`run_pretraining.py:107-370`, `modeling.py:1817-1818`). One jit
-    specialization per objective signature."""
+    specialization per objective signature, each batch-sharded over the
+    mesh `data` axis with the state donated (the DDP-pretraining analogue
+    of `run_pretraining.py:168-185`)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from .state import TrainState
+    from ..parallel.mesh import DATA_AXIS
 
     mesh = mesh or make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
@@ -199,6 +259,14 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
     # with no objectives at all we run MLM-only pretraining
     objectives = list(cfg.multimodal_pretrain_objectives)
     use_mlm = "no_mlm" not in objectives
+    if "visual_mlm" in objectives:
+        # accepted for flag parity but a no-op: the reference only copies
+        # `visual_mlm` onto the HF config (`run_pretraining.py:1280-1281,
+        # 1381-1382,1472-1473`) and no model code reads it
+        logger.warning(
+            "--multimodal_pretrain_objectives visual_mlm is a dead flag in "
+            "the reference (config-only, never read by any model); it is "
+            "accepted but has no effect here either")
     objectives = [o for o in objectives if o not in ("no_mlm", "visual_mlm")]
     if not objectives:
         objectives = ["mlm_only"]
@@ -241,6 +309,8 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
     state = apply_pretrained_to_state(state, args, cfg)
 
     step_cache: Dict[str, Callable] = {}
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
 
     def get_step(objective):
         if objective not in step_cache:
@@ -266,21 +336,28 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
                 (loss, (losses, new_ms)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params)
                 return state.apply_gradients(grads, new_ms), losses
-            step_cache[objective] = jax.jit(step)
+            # batch + aux sharded on the data axis (every aux array carries
+            # a leading batch dim), params replicated, state donated:
+            # gradient psum is inserted by XLA from the shardings
+            step_cache[objective] = jax.jit(
+                step,
+                in_shardings=(repl, data_sh, data_sh, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,))
         return step_cache[objective]
 
+    state = jax.device_put(state, repl)
     writer = MetricWriter(os.path.join(args.output_dir, "logs"))
     rng = jax.random.PRNGKey(args.seed + 1)
     global_step = 0
     for epoch in range(max(1, epochs)):
-        for batch in data_loader(train_dataset, batch_size, shuffle=True,
-                                 seed=args.seed, epoch=epoch,
-                                 drop_last=False):
+        for batch in prefetch(data_loader(
+                train_dataset, batch_size, shuffle=True,
+                seed=args.seed, epoch=epoch, drop_last=False)):
             objective = choose_objective(objectives, host_rng)
             nb, aux = prepare(batch, objective)
-            nbj = {k: jnp.asarray(v) for k, v in nb.items()}
-            auxj = {k: jnp.asarray(v) for k, v in aux.items()}
-            state, losses = get_step(objective)(state, nbj, auxj, rng)
+            state, losses = get_step(objective)(
+                state, shard_batch(nb, mesh), shard_batch(aux, mesh), rng)
             global_step += 1
             if global_step % args.logging_steps == 0:
                 for k, v in losses.items():
@@ -291,6 +368,15 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
                 save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
                                 tokenizer=tokenizer,
                                 training_args=vars(args))
+                if (getattr(args, "evaluate_during_training", False)
+                        and dev_dataset is not None):
+                    res = evaluate_pretraining(
+                        cfg, state, args, dev_dataset, mesh=mesh,
+                        use_mlm=use_mlm,
+                        max_eval_steps=getattr(args, "max_eval_steps", None))
+                    for k, v in res.items():
+                        writer.scalar(f"pretrain/{k}", v, global_step)
+                    logger.info("pretrain eval @%d: %s", global_step, res)
             if global_step >= total_steps:
                 break
         if global_step >= total_steps:

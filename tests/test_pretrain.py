@@ -1,5 +1,7 @@
 """Pretraining stack tests: MLM masking, objective planners, pretrainer."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -236,3 +238,97 @@ def test_image_only_pretrain_and_visual_transfer(tmp_path):
     want_tree = params["encoder"]["visual_model"]
     want = jax.tree.leaves(want_tree)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+class _ListDataset:
+    def __init__(self, items):
+        self._items = items
+
+    def __len__(self):
+        return len(self._items)
+
+    def __getitem__(self, i, epoch=0):
+        return self._items[i]
+
+
+def test_pretraining_loop_data_parallel(tmp_path):
+    """The pretraining loop shards batches over the mesh data axis: an
+    8-device run computes the same losses as a 1-device run on the same
+    global batch (the DDP-pretraining analogue of the reference's
+    run_pretraining.py:168-185)."""
+    import argparse
+    import json
+
+    from multimodal_sequencing_tpu.train.loop import run_pretraining
+    from multimodal_sequencing_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg(n=3, multimodal_pretrain_objectives=["image_swapping"])
+    vcfg = CLIPVisionConfig.tiny_vit()
+    items = []
+    for i in range(16):
+        b = _batch(cfg, b=1, seed=i)
+        items.append({k: v[0] for k, v in b.items()})
+    ds = _ListDataset(items)
+
+    def run(n_dev, per_gpu, out):
+        model = SequencingPretrainer(cfg, vcfg)
+        args = argparse.Namespace(
+            per_gpu_train_batch_size=per_gpu, learning_rate=1e-3,
+            weight_decay=0.0, adam_epsilon=1e-8, max_grad_norm=1.0,
+            num_train_epochs=1, max_steps=2, warmup_steps=0,
+            gradient_accumulation_steps=1, logging_steps=1, save_steps=0,
+            seed=0, output_dir=str(out), mlm_probability=0.15,
+            model_name_or_path="simple")
+        mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+        run_pretraining(cfg, model, ds, args, tokenizer=None, mesh=mesh)
+        losses = []
+        with open(os.path.join(str(out), "logs", "scalars.jsonl")) as f:
+            for line in f:
+                row = json.loads(line)
+                if row["tag"] == "pretrain/loss":
+                    losses.append(row["value"])
+        return losses
+
+    l1 = run(1, 8, tmp_path / "d1")
+    l8 = run(8, 1, tmp_path / "d8")
+    assert len(l1) == len(l8) == 2
+    assert np.isfinite(l1).all() and np.isfinite(l8).all()
+    np.testing.assert_allclose(l1, l8, rtol=3e-3)
+
+
+def test_pretraining_dev_eval(tmp_path):
+    """evaluate_pretraining reports masked-LM loss + perplexity on a dev
+    split (the reference's pretrain evaluate, run_pretraining.py:377-497)."""
+    import argparse
+
+    from multimodal_sequencing_tpu.train.loop import evaluate_pretraining
+    from multimodal_sequencing_tpu.train.state import (
+        TrainState, make_optimizer)
+    from multimodal_sequencing_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg(n=3)
+    vcfg = CLIPVisionConfig.tiny_vit()
+    model = SequencingPretrainer(cfg, vcfg)
+    items = [
+        {k: v[0] for k, v in _batch(cfg, b=1, seed=i).items()}
+        for i in range(8)]
+    ds = _ListDataset(items)
+    nb0 = {k: jnp.asarray(v) for k, v in _batch(cfg, b=2).items()}
+    nb0["mlm_labels"] = jnp.full_like(nb0["input_ids"],
+                                      cfg.mlm_ignore_index)
+    variables = dict(model.init(jax.random.PRNGKey(0), nb0, "mlm_only", {}))
+    params = variables.pop("params")
+    tx = make_optimizer()
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), model_state=variables,
+                       tx=tx, apply_fn=model.apply)
+    args = argparse.Namespace(per_gpu_train_batch_size=2,
+                              per_gpu_eval_batch_size=None,
+                              mlm_probability=0.15)
+    res = evaluate_pretraining(cfg, state, args, ds,
+                               mesh=make_mesh(n_data=8))
+    assert "eval_loss" in res and "eval_mlm" in res
+    assert "eval_perplexity" in res
+    assert np.isfinite(res["eval_loss"])
+    # fresh model: perplexity near uniform over the vocab
+    assert res["eval_perplexity"] > 10.0
