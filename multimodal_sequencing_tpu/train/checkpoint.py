@@ -60,9 +60,11 @@ def save_checkpoint(output_dir: str, step: int, state, cfg=None,
     return ckpt_dir
 
 
-def restore_checkpoint(ckpt_dir: str, state):
+def restore_checkpoint(ckpt_dir: str, state, load_optimizer: bool = True):
     """Restore a TrainState from `checkpoint-*/state` (shapes from the
-    freshly initialized `state`)."""
+    freshly initialized `state`). With `load_optimizer=False` only params
+    and model_state are taken; optimizer moments and the step counter stay
+    fresh (`--do_not_load_optimizer`, reference `train.py:195,247`)."""
     ocp = _ocp()
     template = {
         "step": np.asarray(jax.device_get(state.step)),
@@ -73,6 +75,9 @@ def restore_checkpoint(ckpt_dir: str, state):
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(os.path.join(os.path.abspath(ckpt_dir), "state"),
                             template)
+    if not load_optimizer:
+        return state.replace(params=payload["params"],
+                             model_state=payload["model_state"])
     return state.replace(
         step=jax.numpy.asarray(payload["step"]),
         params=payload["params"], opt_state=payload["opt_state"],

@@ -592,8 +592,7 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     from ..models.convert import apply_pretrained_to_state
     state = apply_pretrained_to_state(state, args, cfg, encoder_key="inner")
 
-    @jax.jit
-    def step_fn(state, batch, rng):
+    def _step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         mutable = list(state.model_state.keys())
 
@@ -612,6 +611,16 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
         (loss, (out, new_ms)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads, new_ms), out
+
+    # batch data-sharded over the mesh, params replicated, state donated
+    # (same DP contract as train/steps.make_train_step)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import DATA_AXIS
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    step_fn = jax.jit(_step, in_shardings=(repl, data_sh, repl),
+                      out_shardings=(repl, repl), donate_argnums=(0,))
+    state = jax.device_put(state, repl)
 
     # eval-during-training: beam-search decode over the first eval split
     # (berson_evaluate analogue, `models/berson/eval.py:39-187`)

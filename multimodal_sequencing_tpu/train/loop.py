@@ -102,9 +102,15 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
                  if parse_step_from_name(c) > 0]
         if ckpts:
             latest = max(ckpts, key=parse_step_from_name)
-            state = restore_checkpoint(latest, state)
-            start_step = parse_step_from_name(latest)
-            logger.info("resumed from %s at step %d", latest, start_step)
+            # --do_not_load_optimizer: weights only, fresh optimizer state
+            # and global_step 0 (reference `train.py:195,246-247`)
+            load_opt = not getattr(args, "do_not_load_optimizer", False)
+            state = restore_checkpoint(latest, state,
+                                       load_optimizer=load_opt)
+            start_step = parse_step_from_name(latest) if load_opt else 0
+            logger.info("resumed from %s at step %d (optimizer %s)",
+                        latest, start_step,
+                        "loaded" if load_opt else "reset")
 
     st_shardings = None
     if n_model > 1:

@@ -335,3 +335,57 @@ def test_eval_all_checkpoints(wikihow_dir, tmp_path):
     # one result block per checkpoint tag
     assert len(results) >= 2
     assert all("dev" in r for r in results.values())
+
+
+def test_do_not_load_optimizer(wikihow_dir, tmp_path):
+    """--do_not_load_optimizer resumes weights but resets optimizer state
+    and global_step (reference train.py:195,246-247)."""
+    import jax
+
+    out = str(tmp_path / "dnlo")
+    argv = _common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1", "--max_steps", "2",
+        "--save_steps", "2",
+    ])
+    main_train(argv)
+    ck = [c for c in find_checkpoints(out) if parse_step_from_name(c) == 2]
+    assert ck
+    # rerun with the flag: training restarts from step 0, so it runs the
+    # full 2 steps again and overwrites checkpoint-2 (a plain resume with
+    # max_steps=2 would do nothing)
+    import os as _os
+    mtime0 = _os.path.getmtime(_os.path.join(ck[0], "state"))
+    state = main_train(argv + ["--do_not_load_optimizer"])
+    assert int(jax.device_get(state.step)) == 2
+    mtime1 = _os.path.getmtime(_os.path.join(ck[0], "state"))
+    assert mtime1 > mtime0
+
+
+def test_restore_checkpoint_without_optimizer(wikihow_dir, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from multimodal_sequencing_tpu.models.config import (
+        EncoderConfig, MultimodalConfig)
+    from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+    from multimodal_sequencing_tpu.train.state import (
+        make_train_state, make_optimizer)
+
+    cfg = MultimodalConfig(encoder=EncoderConfig.tiny(),
+                           max_seq_length=32, per_seq_max_length=8)
+    model = SequencingModel(cfg)
+    batch = {"input_ids": np.zeros((2, 32), np.int32),
+             "attention_mask": np.ones((2, 32), np.int32),
+             "token_type_ids": np.zeros((2, 32), np.int32)}
+    state = make_train_state(model, jax.random.PRNGKey(0), batch,
+                             tx=make_optimizer())
+    state = state.replace(step=jnp.asarray(9, jnp.int32))
+    d = save_checkpoint(str(tmp_path), 9, state, cfg=cfg)
+    fresh = make_train_state(model, jax.random.PRNGKey(1), batch,
+                             tx=make_optimizer())
+    got = restore_checkpoint(d, fresh, load_optimizer=False)
+    # params restored, step NOT restored
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(got.params)[0]),
+        np.asarray(jax.tree.leaves(state.params)[0]))
+    assert int(jax.device_get(got.step)) == 0
