@@ -46,6 +46,15 @@ class CLIPVisionConfig:
     vit_heads: int = 12
     patch_size: int = 32
     dtype: str = "float32"
+    # The reference folds N step images into the RN50 attnpool stream with
+    # `x.reshape(B, C, HW*L)` on an NCHW tensor (`model.py:76-77`) — a raw
+    # byte reinterpretation that interleaves channels and images rather
+    # than concatenating per-image patch tokens. Default False = clean
+    # semantic fold (token (l, hw) keeps channel axis intact — the layout
+    # OpenAI's pretrained attnpool was trained on); True replays the
+    # reference's byte order exactly, for importing reference-FINETUNED
+    # checkpoints whose downstream weights learned through the quirk.
+    ref_fold_quirk: bool = False
 
     @property
     def compute_dtype(self):
@@ -135,8 +144,14 @@ class AttentionPool2d(nn.Module):
         pos_emb = self.param(
             "positional_embedding",
             nn.initializers.normal(c ** -0.5), (spacial * spacial + 1, c))
-        # (B*L, H, W, C) -> (B, L*HW, C)
-        tokens = x.reshape(b, img_len * h * w, c)
+        if self.cfg.ref_fold_quirk and img_len > 1:
+            # replay the reference's byte order (`model.py:76-77`):
+            # (B*L, C, HW) memory viewed as (B, C, HW*L), tokens = last axis
+            xc = x.transpose(0, 3, 1, 2).reshape(b, img_len * c * h * w)
+            tokens = xc.reshape(b, c, h * w * img_len).transpose(0, 2, 1)
+        else:
+            # clean semantic fold: (B*L, H, W, C) -> (B, L*HW, C)
+            tokens = x.reshape(b, img_len * h * w, c)
         mean_tok = tokens.mean(axis=1, keepdims=True)
         tokens = jnp.concatenate([mean_tok, tokens], axis=1)
         patch_len = h * w

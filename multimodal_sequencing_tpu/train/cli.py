@@ -72,6 +72,10 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--include_num_img_regional_features", type=int, default=None)
     add("--include_full_img_features", action="store_true")
     add("--vision_image_size", type=int, default=224)
+    add("--clip_ref_fold_quirk", action="store_true",
+        help="replay the reference's byte-order RN50 attnpool fold "
+             "(model.py:76-77) for importing reference-finetuned "
+             "checkpoints; default is the clean per-image patch fold")
     add("--device_image_preprocess", action="store_true",
         help="ship uint8 images and normalize on device "
              "(4x less H2D traffic)")
@@ -373,6 +377,7 @@ def build_model(cfg, args):
                 if cfg.clip_model_name.startswith("RN")
                 else CLIPVisionConfig.vit_b32(dtype=cfg.encoder.dtype))
         vcfg.image_resolution = args.vision_image_size
+        vcfg.ref_fold_quirk = getattr(args, "clip_ref_fold_quirk", False)
     if args.wrapper_model_type == "berson":
         extra = args.additional_wrapper_level_objectives or []
         return BersonOrdering(
@@ -714,6 +719,7 @@ def main_pretrain(argv=None):
                 if cfg.clip_model_name.startswith("RN")
                 else CLIPVisionConfig.vit_b32(dtype=cfg.encoder.dtype))
         vcfg.image_resolution = args.vision_image_size
+        vcfg.ref_fold_quirk = getattr(args, "clip_ref_fold_quirk", False)
     model = SequencingPretrainer(cfg, vcfg)
     from .loop import run_pretraining, evaluate_pretraining
     dev_dataset = None
@@ -866,6 +872,8 @@ def load_model_for_eval(cfg, args, role: str, path: Optional[str]):
                     if role_cfg.clip_model_name.startswith("RN")
                     else CLIPVisionConfig.vit_b32(
                         dtype=role_cfg.encoder.dtype))
+            vcfg.ref_fold_quirk = getattr(args, "clip_ref_fold_quirk",
+                                          False)
         model = BersonOrdering(role_cfg, vcfg, beam_size=args.beam_size,
                                pairwise_loss_lam=args.pairwise_loss_lam)
     else:

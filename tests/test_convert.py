@@ -246,3 +246,78 @@ def test_apply_pretrained_to_state(tmp_path, wikihow_dir):
     np.testing.assert_allclose(got, want)
     # untouched head params remain
     assert "cls_head" in state2.params
+
+
+def _load_ref_clip_model():
+    import importlib.util
+    import os
+    path = "/root/reference/models/CLIP/clip/model.py"
+    if not os.path.exists(path):
+        return None
+    spec = importlib.util.spec_from_file_location("ref_clip_model", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("quirk", [False, True])
+def test_clip_rn50_conversion_parity(quirk):
+    """Randomly-initialized reference torch ModifiedResNet
+    (`/root/reference/models/CLIP/clip/model.py:128-187`) ->
+    convert_clip_rn50 -> forward parity on the grid (skip_last_layer),
+    the img_len=1 pooled output, and — with ref_fold_quirk — the exact
+    img_len=2 folded token stream including the reference's
+    byte-reinterpreting reshape (`model.py:76-77`)."""
+    from multimodal_sequencing_tpu.models.convert import convert_clip_rn50
+    from multimodal_sequencing_tpu.models.clip_visual import (
+        CLIPVisionConfig, ModifiedResNet)
+
+    ref = _load_ref_clip_model()
+    if ref is None:
+        pytest.skip("reference repo not mounted")
+    layers, width, heads, res, out_dim = (1, 1, 1, 1), 16, 4, 64, 32
+    torch.manual_seed(0)
+    m = ref.ModifiedResNet(layers=list(layers), output_dim=out_dim,
+                           heads=heads, input_resolution=res, width=width,
+                           img_len=2)
+    m.eval()
+    # randomize BN affine + running stats so parity is nontrivial
+    with torch.no_grad():
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.weight.uniform_(0.5, 1.5)
+                mod.bias.uniform_(-0.5, 0.5)
+                mod.running_mean.uniform_(-0.2, 0.2)
+                mod.running_var.uniform_(0.5, 1.5)
+
+    converted = convert_clip_rn50(dict(m.state_dict()), layers=layers)
+    cfg = CLIPVisionConfig.rn50(
+        image_resolution=res, width=width, heads=heads, layers=layers,
+        output_dim=out_dim, ref_fold_quirk=quirk)
+    rn = ModifiedResNet(cfg)
+    variables = {"params": converted["params"]["resnet"],
+                 "batch_stats": converted["batch_stats"]["resnet"]}
+
+    x = np.random.RandomState(0).randn(4, 3, res, res).astype(np.float32)
+    with torch.no_grad():
+        ref_grid = m(torch.tensor(x), skip_last_layer=True).numpy()
+        ref_pool1 = m(torch.tensor(x), img_len=1).numpy()
+        ref_pool2 = m(torch.tensor(x), img_len=2).numpy()
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    got_grid = np.asarray(rn.apply(variables, xj, skip_last_layer=True))
+    np.testing.assert_allclose(got_grid.transpose(0, 3, 1, 2), ref_grid,
+                               atol=2e-4)
+    got_pool1 = np.asarray(rn.apply(variables, xj, img_len=1))
+    assert got_pool1.shape == ref_pool1.shape == (4, out_dim)
+    np.testing.assert_allclose(got_pool1, ref_pool1, atol=2e-4)
+
+    got_pool2 = np.asarray(rn.apply(variables, xj, img_len=2))
+    # (B, HW*L + 1, 2*out_dim) channel-duplicated stream
+    assert got_pool2.shape == ref_pool2.shape == (2, 9, 2 * out_dim)
+    if quirk:
+        np.testing.assert_allclose(got_pool2, ref_pool2, atol=2e-4)
+    else:
+        # clean fold deviates from the reference's byte reinterpretation
+        # by design (documented in CLIPVisionConfig.ref_fold_quirk)
+        assert np.isfinite(got_pool2).all()
