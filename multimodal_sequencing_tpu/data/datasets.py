@@ -308,8 +308,10 @@ class BersonDataset(_StoryDatasetBase):
         texts, img_paths, idx_seq = self._story(idx, epoch)
         label = np.argsort(np.asarray(idx_seq)).astype(np.int32)
         item = self.packer.pack_berson_story(
-            texts, label.tolist(), max_story_length=len(texts))
-        item["labels"] = label
+            texts, label.tolist(), max_story_length=self.max_story_length)
+        item["labels"] = np.concatenate(
+            [label, np.arange(len(texts), self.max_story_length,
+                              dtype=np.int32)])
         item["guid"] = self.examples[idx].guid
         item.update(self._images(img_paths, len(texts)))
         return item

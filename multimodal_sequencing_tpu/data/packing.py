@@ -103,16 +103,25 @@ class StoryPacker:
         [steps_i ; steps_j] (each step keeps its own CLS/SEP), sep_positions
         = [len_i - 1, len_pair - 1], pairwise_label = 1 iff i's true time
         precedes j's. Fixed shapes: P = N*(N-1) pairs, pair length
-        2*per_seq_max_length."""
-        n = max_story_length or len(texts)
-        assert len(texts) == n, "berson packing expects full-length stories"
+        2*per_seq_max_length.
+
+        Stories shorter than max_story_length keep the SAME static pair
+        layout: pairs touching a dead step are all-pad rows with label 0
+        (masked downstream via mask_cls), unlike the reference's
+        variable-then-padded layout (`preprocess_batch.py:59-69`) — the
+        model derives pair validity from the static list + mask_cls.
+        ground_truth pads with the dead step indices so gathers stay
+        in-bounds and position masks fall out of mask_cls."""
+        m = len(texts)
+        n = max_story_length or m
+        assert m <= n, "berson packing: story longer than max_story_length"
         step_ids = self.encode_steps(texts)
         L = 2 * self.per_seq_max_length
         order_label = list(order_label)
 
         from . import _native
         nat = (_native.pack_berson(step_ids, order_label, L, self.pad_id)
-               if roberta_types else None)
+               if roberta_types and m == n else None)
         if nat is not None:
             input_ids, sep_positions, pairwise_labels, pairs_arr = nat
             token_type_ids = np.zeros((len(pairs_arr), L), dtype=np.int32)
@@ -131,14 +140,19 @@ class StoryPacker:
 
         pairs = ([[i, j] for i in range(n) for j in range(i + 1, n)]
                  + [[j, i] for i in range(n) for j in range(i + 1, n)])
-        pos = {s: order_label.index(s) for s in range(n)}
+        pos = {s: order_label.index(s) for s in range(m)}
 
         P = len(pairs)
         input_ids = np.full((P, L), self.pad_id, dtype=np.int32)
         token_type_ids = np.zeros((P, L), dtype=np.int32)
         sep_positions = np.zeros((P, 2), dtype=np.int32)
         pairwise_labels = np.zeros((P,), dtype=np.int32)
+        true_pairs = 0
         for p, (i, j) in enumerate(pairs):
+            if i >= m or j >= m:
+                sep_positions[p] = [0, 1]  # harmless span for dead pairs
+                continue
+            true_pairs += 1
             a, b_ = step_ids[i], step_ids[j]
             cat = np.concatenate([a, b_])[:L]
             input_ids[p, :len(cat)] = cat
@@ -147,16 +161,19 @@ class StoryPacker:
                 token_type_ids[p, len(a):len(cat)] = 1
             pairwise_labels[p] = int(pos[i] < pos[j])
         attention_mask = (input_ids != self.pad_id).astype(np.int32)
+        mask_cls = np.zeros((n,), dtype=np.int32)
+        mask_cls[:m] = 1
         return {
             "input_ids": input_ids, "attention_mask": attention_mask,
             "token_type_ids": token_type_ids,
             "sep_positions": sep_positions,
             "pairs_list": np.asarray(pairs, dtype=np.int32),
             "pairwise_labels": pairwise_labels,
-            "ground_truth": np.asarray(order_label, dtype=np.int32),
-            "mask_cls": np.ones((n,), dtype=np.int32),
-            "passage_length": np.int32(n),
-            "pairs_num": np.int32(P),
+            "ground_truth": np.asarray(
+                order_label + list(range(m, n)), dtype=np.int32),
+            "mask_cls": mask_cls,
+            "passage_length": np.int32(m),
+            "pairs_num": np.int32(true_pairs),
         }
 
     def pack_all_pairs(self, texts: Sequence[str],

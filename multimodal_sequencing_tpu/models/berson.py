@@ -165,6 +165,13 @@ class HierarchicalAttention(nn.Module):
         sent_tensor = mix[:, pair_idx, side_idx, :]    # (B, N, E, H)
         edge_scores = nn.Dense(1, use_bias=False, name="linear_in_2")(
             sent_tensor)[..., 0]                        # (B, N, E)
+        # stories shorter than N: drop edges whose partner step is dead
+        # (the reference builds only true pairs per story,
+        # `modeling_bert.py:766-816`; here the pair list is static and
+        # validity comes from mask_cls)
+        partner = pairs[pair_idx, 1 - side_idx]         # (N, E) static
+        edge_valid = mask_cls[:, partner] > 0           # (B, N, E)
+        edge_scores = jnp.where(edge_valid, edge_scores, NEG)
         w = jax.nn.softmax(edge_scores, axis=-1)
         doc = jnp.einsum("bne,bneh->bnh", w, sent_tensor)
         doc = doc * mask_cls[:, :, None].astype(doc.dtype)
@@ -348,12 +355,18 @@ class BersonOrdering(nn.Module):
         pointer_loss = (nll.sum(1)
                         / jnp.maximum(num_sen - 1, 1e-20))
 
-        # pairwise loss (`modeling_bert.py:1144-1174`)
+        # pairwise loss over TRUE pairs only, normalized by pairs_num
+        # (`modeling_bert.py:1144-1174`); dead pairs of short stories are
+        # masked out via mask_cls on the static pair list
         plabels = batch["pairwise_labels"].astype(jnp.int32)  # (B, P)
         cls_logp = jax.nn.log_softmax(enc["cls_score"], axis=-1)
         pw_nll = -jnp.take_along_axis(
             cls_logp, plabels[:, :, None], axis=2)[..., 0]
-        pairwise_loss = pw_nll.mean(1)
+        pairs_np = jnp.asarray(berson_pairs(n))
+        vp = (mask_cls[:, pairs_np[:, 0]]
+              * mask_cls[:, pairs_np[:, 1]])  # (B, P)
+        pairwise_loss = (pw_nll * vp).sum(1) / jnp.maximum(
+            vp.sum(1), 1e-20)
 
         valid = batch.get("valid")
         if valid is not None:
@@ -373,7 +386,8 @@ class BersonOrdering(nn.Module):
             # image-stream pairwise CE, same lam (`modeling_bert.py:1338-1346`)
             img_logp = jax.nn.log_softmax(enc["cls_score_img"], axis=-1)
             img_nll = -jnp.take_along_axis(
-                img_logp, plabels[:, :, None], axis=2)[..., 0].mean(1)
+                img_logp, plabels[:, :, None], axis=2)[..., 0]
+            img_nll = (img_nll * vp).sum(1) / jnp.maximum(vp.sum(1), 1e-20)
             if valid is not None:
                 img_loss = (img_nll * valid.astype(jnp.float32)).sum() / (
                     jnp.maximum(valid.sum(), 1))
@@ -454,6 +468,7 @@ class BersonOrdering(nn.Module):
         scores = jnp.tile(jnp.full((W,), NEG).at[0].set(0.0), (b,))
         bw = jnp.arange(b * W)
         neg1 = jnp.full((b * W,), -1, jnp.int32)
+        num_sen = mask_cls.sum(1).astype(jnp.int32)  # (B,) true lengths
 
         for t in range(n - 1):
             if t == 0:
@@ -464,7 +479,7 @@ class BersonOrdering(nn.Module):
                 dec_inp = docW[bw, last]
                 l1_row = last
                 l2_row = cands[:, t - 2] if t > 1 else neg1
-            (h, c), e = self._pointer_logits_step(
+            (h2, c2), e = self._pointer_logits_step(
                 h, c, dec_inp, keyW, relaW, rela_mask, hist,
                 l1_row, l2_row, pointed, mask_W)
             logp = jax.nn.log_softmax(e, axis=-1)
@@ -473,22 +488,33 @@ class BersonOrdering(nn.Module):
                 total.reshape(b, W * n), W)          # per story
             beam_ix = top_ix // n                    # (B, W)
             tok_ix = (top_ix % n).reshape(-1)
-            sel = (jnp.arange(b)[:, None] * W + beam_ix).reshape(-1)
-            h, c = h[sel], c[sel]
-            pointed = pointed[sel]
-            rela_mask = rela_mask[sel]
-            cands = cands[sel].at[:, t].set(tok_ix)
-            scores = top_scores.reshape(-1)
-            pointed = pointed.at[bw, tok_ix].set(True)
-            rela_mask = rela_mask & ~(
+            # stories shorter than max_story_length run only num_sen-1
+            # pointer steps (the reference's per-story T, modeling_bert.py
+            # :1472); past that the step is a no-op so beam state, scores
+            # and the leftover computation stay clean
+            actW = jnp.repeat(t < (num_sen - 1), W)  # (B*W,)
+            sel = jnp.where(
+                actW, (jnp.arange(b)[:, None] * W + beam_ix).reshape(-1), bw)
+            h = jnp.where(actW[:, None], h2[sel], h)
+            c = jnp.where(actW[:, None], c2[sel], c)
+            new_pointed = pointed[sel].at[bw, tok_ix].set(True)
+            pointed = jnp.where(actW[:, None], new_pointed, pointed)
+            new_cands = cands[sel].at[:, t].set(tok_ix)
+            cands = jnp.where(actW[:, None], new_cands, cands)
+            scores = jnp.where(actW, top_scores.reshape(-1), scores)
+            new_rm = rela_mask[sel] & ~(
                 (jnp.arange(n)[None, :, None] == tok_ix[:, None, None])
                 | (jnp.arange(n)[None, None, :] == tok_ix[:, None, None]))
+            rela_mask = jnp.where(actW[:, None, None], new_rm, rela_mask)
 
         scores_b = unflat(scores)
         best = jnp.argmax(scores_b, axis=1)  # (B,)
         sel = jnp.arange(b) * W + best
         chain = cands[sel]  # (B, N)
-        # append the leftover node (`modeling_bert.py:1546-1549`)
+        # append the leftover node at the story's true last slot
+        # (`modeling_bert.py:1546-1549`); slots past num_sen become -1
+        # padding for the host to strip
         leftover = jnp.argmin(pointed[sel].astype(jnp.int32)
                               + (mask_cls == 0) * 2, axis=1)
-        return chain.at[:, n - 1].set(leftover)
+        chain = chain.at[jnp.arange(b), num_sen - 1].set(leftover)
+        return jnp.where(jnp.arange(n)[None] < num_sen[:, None], chain, -1)

@@ -286,7 +286,8 @@ class SortEvaluator:
             for k, texts in enumerate(stories):
                 # identity label; beam search ignores it
                 items.append(self.packer.pack_berson_story(
-                    texts, list(range(len(texts)))))
+                    texts, list(range(len(texts))),
+                    max_story_length=self.cfg.max_story_length))
             batch = {key: jnp.asarray(np.stack([it[key] for it in items]))
                      for key in items[0]}
             if images is not None:
@@ -294,7 +295,10 @@ class SortEvaluator:
             from ..models.berson import BersonOrdering
             pred = model.apply(variables, batch,
                                method=BersonOrdering.beam_search)
-            return [p.tolist() for p in np.asarray(pred)]
+            # strip the -1 tail padding of stories shorter than
+            # max_story_length (beam_search pads to the static shape)
+            return [[int(x) for x in p[:len(texts)]]
+                    for p, texts in zip(np.asarray(pred), stories)]
 
         if sort_method == "heat_map":
             model, variables = models["heatmap"]

@@ -177,3 +177,66 @@ def test_berson_time_contrastive_and_multimodal_loss(tokenizer):
     assert "time_contrastive_loss" in out
     assert "img_pairwise_loss" in out
     assert np.isfinite(float(out["loss"]))
+
+
+def test_berson_variable_length_stories(tokenizer):
+    """min_story_length < max_story_length: packing pads to the static
+    shapes, training losses stay finite and dead-pair-free, and beam search
+    returns a valid permutation of each TRUE length with -1 tail padding
+    (the reference runs per-story T = num_sen, modeling_bert.py:1472)."""
+    n = 5
+    cfg = _cfg(n)
+    rng = np.random.RandomState(0)
+    packer = StoryPacker(tokenizer, max_seq_length=64, per_seq_max_length=8)
+    items, lens = [], [3, 5, 4]
+    for k, m in enumerate(lens):
+        texts = [f"alpha {k} beta {i} gamma delta" for i in range(m)]
+        label = rng.permutation(m).tolist()
+        item = packer.pack_berson_story(texts, label, max_story_length=n)
+        assert item["input_ids"].shape == (n * (n - 1),
+                                           2 * packer.per_seq_max_length)
+        assert item["mask_cls"].tolist() == [1] * m + [0] * (n - m)
+        assert int(item["pairs_num"]) == m * (m - 1)
+        assert item["ground_truth"].tolist() == label + list(range(m, n))
+        # dead pairs are all-pad with label 0
+        for p, (i, j) in enumerate(item["pairs_list"].tolist()):
+            if i >= m or j >= m:
+                assert item["attention_mask"][p].sum() == 0
+                assert item["pairwise_labels"][p] == 0
+        items.append(item)
+    batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
+             for k in items[0]}
+
+    model = BersonOrdering(cfg, beam_size=4)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(params, batch)
+    assert np.isfinite(float(out["loss"]))
+    pred = np.asarray(model.apply(params, batch,
+                                  method=BersonOrdering.beam_search))
+    assert pred.shape == (3, n)
+    for row, m in zip(pred, lens):
+        assert sorted(row[:m].tolist()) == list(range(m)), (row, m)
+        assert (row[m:] == -1).all(), (row, m)
+
+
+def test_berson_short_story_loss_matches_small_model(tokenizer):
+    """A story of length m packed to max N must produce the same loss as
+    the same story packed to max m (dead steps fully masked)."""
+    m = 3
+    rng = np.random.RandomState(1)
+    packer = StoryPacker(tokenizer, max_seq_length=64, per_seq_max_length=8)
+    texts = [f"alpha beta {i} gamma delta" for i in range(m)]
+    label = rng.permutation(m).tolist()
+
+    losses = {}
+    for n in (m, 5):
+        cfg = _cfg(n)
+        item = packer.pack_berson_story(texts, label, max_story_length=n)
+        batch = {k: jnp.asarray(np.asarray(v)[None]) for k, v in item.items()}
+        model = BersonOrdering(cfg, beam_size=4)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(params, batch)
+        losses[n] = (float(out["pointer_loss"]), float(out["pairwise_loss"]))
+    # pairwise loss must match exactly (same true pairs, masked mean);
+    # pointer loss matches because padded positions gather dead nodes
+    np.testing.assert_allclose(losses[m][1], losses[5][1], rtol=1e-4)

@@ -128,10 +128,14 @@ def test_heatmap_decode_parity_fuzz():
 
     rng = np.random.RandomState(9)
     args = A()
-    for _ in range(15):
+    for it in range(24):
         n = rng.randint(3, 6)
-        hm = rng.rand(n, n)
-        for m in ("super_naive", "naive", "naive_v2_sum", "mst",
+        # signed heatmaps every third round: the v3 decodes take |.| of
+        # tanh-range scores (`train_utils.py:116-117`)
+        hm = rng.rand(n, n) * (2.0 if it % 3 == 2 else 1.0) - (
+            1.0 if it % 3 == 2 else 0.0)
+        for m in ("super_naive", "naive", "naive_sum", "naive_v2",
+                  "naive_v2_sum", "naive_v3", "naive_v3_sum", "mst",
                   "topological"):
             args.heatmap_decode_method = m
             try:
