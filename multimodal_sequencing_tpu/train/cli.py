@@ -357,7 +357,13 @@ def make_dataset(args, cfg, tokenizer, task_type, examples, scramble=True,
                                     decode=True, **common)
         return PureClassDataset(examples, tokenizer, scramble=scramble,
                                 decode=decode, **common)
-    if task_type in ("sort", "pure_decode"):
+    if task_type == "pure_decode":
+        # packed stories + order-sequence labels for the encoder-decoder
+        # (the reference trains pure_decode on PureClassDataset(decode=True),
+        # `train.py:801-812`)
+        return PureClassDataset(examples, tokenizer, scramble=scramble,
+                                decode=True, **common)
+    if task_type == "sort":
         return SortDataset(examples, tokenizer, scramble=scramble, **common)
     if task_type == "pretrain":
         return PretrainDataset(examples, tokenizer, scramble=False, **common)
@@ -367,17 +373,31 @@ def make_dataset(args, cfg, tokenizer, task_type, examples, scramble=True,
     raise NotImplementedError(f"task_type {task_type}")
 
 
+def _vision_cfg(cfg, args):
+    """CLIPVisionConfig for the visual tower. Honors --model_size tiny so
+    the launcher scripts can run CI-light without building a full RN50."""
+    from ..models.clip_visual import CLIPVisionConfig
+    if not cfg.multimodal:
+        return None
+    rn = cfg.clip_model_name.startswith("RN")
+    if getattr(args, "model_size", "large") == "tiny":
+        vcfg = (CLIPVisionConfig.tiny_rn(dtype=cfg.encoder.dtype) if rn
+                else CLIPVisionConfig.tiny_vit(dtype=cfg.encoder.dtype))
+    else:
+        vcfg = (CLIPVisionConfig.rn50(dtype=cfg.encoder.dtype) if rn
+                else CLIPVisionConfig.vit_b32(dtype=cfg.encoder.dtype))
+    vcfg.image_resolution = args.vision_image_size
+    vcfg.ref_fold_quirk = getattr(args, "clip_ref_fold_quirk", False)
+    return vcfg
+
+
 def build_model(cfg, args):
     from ..models.sequencer import SequencingModel
     from ..models.berson import BersonOrdering
-    from ..models.clip_visual import CLIPVisionConfig
-    vcfg = None
-    if cfg.multimodal:
-        vcfg = (CLIPVisionConfig.rn50(dtype=cfg.encoder.dtype)
-                if cfg.clip_model_name.startswith("RN")
-                else CLIPVisionConfig.vit_b32(dtype=cfg.encoder.dtype))
-        vcfg.image_resolution = args.vision_image_size
-        vcfg.ref_fold_quirk = getattr(args, "clip_ref_fold_quirk", False)
+    if cfg.hierarchical_version == "decode":
+        from ..models.pure_decode import EncoderIndexDecoder
+        return EncoderIndexDecoder(cfg)
+    vcfg = _vision_cfg(cfg, args)
     if args.wrapper_model_type == "berson":
         extra = args.additional_wrapper_level_objectives or []
         return BersonOrdering(
@@ -420,6 +440,9 @@ def main_train(argv=None):
     if task_type == "hl_v1" and args.hierarchical_version == "v0":
         args.hierarchical_version = "v1"
         cfg.hierarchical_version = "v1"
+    if task_type == "pure_decode" and args.wrapper_model_type != "berson":
+        # encoder-decoder over index tokens (`train.py:1955-1968`)
+        cfg.hierarchical_version = "decode"
     # classification head width by task (`train.py:1544-1620` config copies)
     if cfg.hierarchical_version == "v0":
         if task_type == "pairwise" or task_type == "abductive":
@@ -538,8 +561,10 @@ def _make_dev_eval_fn(args, cfg, tokenizer, model, data_name):
                               micro_batch=args.per_gpu_eval_batch_size * 4)
     v = cfg.hierarchical_version
     method = ("heat_map" if v in ("v1", "v2", "v3")
-              else "pure_decode" if v in ("p0", "p1") else "topological")
-    role = {"heat_map": "heatmap", "pure_decode": "pointer",
+              else "pure_decode" if v in ("p0", "p1", "decode")
+              else "topological")
+    role = {"heat_map": "heatmap",
+            "pure_decode": "pure_decode" if v == "decode" else "pointer",
             "topological": "pairwise"}[method]
 
     def eval_fn(state):
@@ -597,35 +622,10 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     from ..models.convert import apply_pretrained_to_state
     state = apply_pretrained_to_state(state, args, cfg, encoder_key="inner")
 
-    def _step(state, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        mutable = list(state.model_state.keys())
-
-        def loss_fn(p):
-            v = {"params": p, **state.model_state}
-            if mutable:
-                out, new_ms = state.apply_fn(
-                    v, batch, deterministic=False, rngs={"dropout": rng},
-                    mutable=mutable)
-            else:
-                out = state.apply_fn(v, batch, deterministic=False,
-                                     rngs={"dropout": rng})
-                new_ms = state.model_state
-            return out["loss"], (out, new_ms)
-
-        (loss, (out, new_ms)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        return state.apply_gradients(grads, new_ms), out
-
-    # batch data-sharded over the mesh, params replicated, state donated
-    # (same DP contract as train/steps.make_train_step)
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from ..parallel.mesh import DATA_AXIS
-    repl = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P(DATA_AXIS))
-    step_fn = jax.jit(_step, in_shardings=(repl, data_sh, repl),
-                      out_shardings=(repl, repl), donate_argnums=(0,))
-    state = jax.device_put(state, repl)
+    from .steps import make_berson_train_step
+    step_fn = make_berson_train_step(mesh)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
 
     # eval-during-training: beam-search decode over the first eval split
     # (berson_evaluate analogue, `models/berson/eval.py:39-187`)
@@ -712,15 +712,7 @@ def main_pretrain(argv=None):
     args.data_dir = dirs[0]
     dataset = make_dataset(args, cfg, tokenizer, "pretrain", examples)
     from ..models.pretrainer import SequencingPretrainer
-    from ..models.clip_visual import CLIPVisionConfig
-    vcfg = None
-    if cfg.multimodal:
-        vcfg = (CLIPVisionConfig.rn50(dtype=cfg.encoder.dtype)
-                if cfg.clip_model_name.startswith("RN")
-                else CLIPVisionConfig.vit_b32(dtype=cfg.encoder.dtype))
-        vcfg.image_resolution = args.vision_image_size
-        vcfg.ref_fold_quirk = getattr(args, "clip_ref_fold_quirk", False)
-    model = SequencingPretrainer(cfg, vcfg)
+    model = SequencingPretrainer(cfg, _vision_cfg(cfg, args))
     from .loop import run_pretraining, evaluate_pretraining
     dev_dataset = None
     if args.evaluate_during_training or args.do_eval:
@@ -775,7 +767,7 @@ def main_eval(argv=None):
         "head_and_sequential": ["head", "pairwise"],
         "head_and_sequential_abductive": ["head", "pairwise", "abductive"],
         "pure_class": ["pure_class"],
-        "pure_decode": ["pointer"],
+        "pure_decode": ["pure_decode"],
         "heat_map": ["heatmap"],
         "berson": ["berson"],
     }
@@ -863,19 +855,16 @@ def load_model_for_eval(cfg, args, role: str, path: Optional[str]):
     elif role == "pointer":
         if role_cfg.hierarchical_version not in ("p0", "p1"):
             role_cfg.hierarchical_version = "p0"
+    elif role == "pure_decode":
+        role_cfg.hierarchical_version = "decode"
 
     if role == "berson":
-        vcfg = None
-        if role_cfg.multimodal:
-            from ..models.clip_visual import CLIPVisionConfig
-            vcfg = (CLIPVisionConfig.rn50(dtype=role_cfg.encoder.dtype)
-                    if role_cfg.clip_model_name.startswith("RN")
-                    else CLIPVisionConfig.vit_b32(
-                        dtype=role_cfg.encoder.dtype))
-            vcfg.ref_fold_quirk = getattr(args, "clip_ref_fold_quirk",
-                                          False)
+        vcfg = _vision_cfg(role_cfg, args)
         model = BersonOrdering(role_cfg, vcfg, beam_size=args.beam_size,
                                pairwise_loss_lam=args.pairwise_loss_lam)
+    elif role == "pure_decode":
+        from ..models.pure_decode import EncoderIndexDecoder
+        model = EncoderIndexDecoder(role_cfg)
     else:
         model = SequencingModel(role_cfg)
     L = args.max_seq_length

@@ -157,6 +157,28 @@ class SortEvaluator:
         return _batched_apply(self._jit_cache[key], variables, feed,
                               self.micro_batch)
 
+    def story_generate(self, model, variables,
+                       stories: List[List[str]]) -> List[List[int]]:
+        """Beam-5 index-token generate over packed whole stories
+        (pure_decode; `eval.py:947-1014`)."""
+        packs = [self.packer.pack_story(t, self.cfg.max_seq_length)
+                 for t in stories]
+        feed = {
+            "input_ids": np.stack([p[0] for p in packs]),
+            "attention_mask": np.stack([p[1] for p in packs]),
+            "token_type_ids": np.stack([p[2] for p in packs]),
+        }
+        key = f"generate:{id(model)}"
+        if key not in self._jit_cache:
+            def fn(variables, chunk):
+                return model.apply(
+                    variables, chunk["input_ids"], chunk["attention_mask"],
+                    chunk["token_type_ids"], method=type(model).generate)
+            self._jit_cache[key] = jax.jit(fn)
+        out = _batched_apply(self._jit_cache[key], variables, feed,
+                             self.micro_batch)
+        return [[int(x) for x in row] for row in np.asarray(out)]
+
     def abductive_logit_cube(self, model, variables,
                              stories: List[List[str]]) -> np.ndarray:
         """(B, N, N, N) ordered-logits for all (h1, h2, h3) triples of
@@ -271,9 +293,17 @@ class SortEvaluator:
             all_labels.extend([np.asarray(l) for l in labels])
             all_guids.extend(guids)
 
-        res = {m: compute_metrics(
-            args_ns or self.cfg, m, all_preds, all_labels)
-            for m in metrics}
+        res = {}
+        for m in metrics:
+            try:
+                res[m] = compute_metrics(args_ns or self.cfg, m, all_preds,
+                                         all_labels)
+            except ValueError:
+                # ms/wms require permutation predictions; generative decode
+                # (pure_decode) can emit non-permutations. The reference
+                # sidesteps this by defaulting --metrics to partial_match
+                # only (`eval.py:1430-1431`); report nan instead of dying.
+                res[m] = float("nan")
         if output_dir:
             self._write_outputs(output_dir, data_split, all_guids, all_preds,
                                 all_labels, res)
@@ -313,10 +343,15 @@ class SortEvaluator:
             return [permutation_unrank(int(np.argmax(l)), n) for l in logits]
 
         if sort_method == "pure_decode":
-            # the reference beam-generates index tokens with an encoder-
-            # decoder (`eval.py:947-1014`); the pointer (p0) head plays that
-            # role here, decoded with an exact permutation argmax (n! <= 120
-            # beats beam-5)
+            if "pure_decode" in models:
+                # faithful path: encoder-decoder beam-5 index-token
+                # generate, num_beams=5 / no_repeat_ngram_size=2
+                # (`eval.py:947-1014`; models/pure_decode.py)
+                model, variables = models["pure_decode"]
+                return self.story_generate(model, variables, stories)
+            # substitution when evaluating a p0/p1 pointer checkpoint: the
+            # pointer head plays the decoder's role, decoded with an exact
+            # permutation argmax (n! <= 120 beats beam-5)
             model, variables = models["pointer"]
             logits = self.story_logits(model, variables, stories, images,
                                        want="pointer_logits")

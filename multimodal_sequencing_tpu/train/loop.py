@@ -239,6 +239,16 @@ def evaluate_pretraining(cfg, state, args, dev_dataset, *, mesh=None,
     return res
 
 
+def _merge_variable_trees(a, b):
+    """Recursive union of two flax variable dicts; `a` wins on overlap."""
+    if not isinstance(a, dict) or not isinstance(b, dict):
+        return a if a is not None else b
+    out = dict(b)
+    for k, v in a.items():
+        out[k] = _merge_variable_trees(v, b.get(k)) if k in b else v
+    return out
+
+
 def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
                     mesh=None, dev_dataset=None):
     """Pretraining loop: per-batch host MLM masking + one random objective
@@ -301,12 +311,21 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
                if isinstance(v, np.ndarray) and v.ndim > 0}
         return nb, aux
 
+    # init must trace EVERY objective: objective-specific heads (e.g. the
+    # patch-MRM classifier) create their params lazily on first trace, and
+    # the random per-batch objective choice would otherwise hit a missing
+    # param at apply time. Shared modules get identical params across inits
+    # (flax derives init rngs from the module path), so a recursive union
+    # is exact.
     sample = next(data_loader(train_dataset, batch_size))
-    nb0, aux0 = prepare(sample, objectives[0])
-    variables = dict(model.init(jax.random.PRNGKey(args.seed),
-                                {k: jnp.asarray(v) for k, v in nb0.items()},
-                                objectives[0],
-                                {k: jnp.asarray(v) for k, v in aux0.items()}))
+    variables: Dict = {}
+    for obj in objectives:
+        nb0, aux0 = prepare(sample, obj)
+        v = dict(model.init(jax.random.PRNGKey(args.seed),
+                            {k: jnp.asarray(v) for k, v in nb0.items()},
+                            obj,
+                            {k: jnp.asarray(v) for k, v in aux0.items()}))
+        variables = _merge_variable_trees(variables, v)
     params = variables.pop("params")
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        opt_state=tx.init(params), model_state=variables,

@@ -63,6 +63,19 @@ def compute_loss(cfg, outputs: dict, batch: dict) -> tuple:
         loss = PointerHead.loss(logits, order_labels, present)
         loss = loss + _aux_losses(cfg, outputs, batch, order_labels,
                                   metrics)
+    elif v == "decode":
+        # pure_decode encoder-decoder: shifted teacher-forced CE over the
+        # index-token vocabulary (models/pure_decode.py; reference
+        # `train.py:537-543` modulo the documented shift fix)
+        logits = outputs["dec_logits"]  # (B, N, V)
+        labels = batch["labels"].astype(jnp.int32)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, labels).mean(axis=-1)
+        loss = masked_mean(ce, valid) if valid is not None else ce.mean()
+        tok_acc = (jnp.argmax(logits, -1) == labels).astype(
+            jnp.float32).mean(axis=-1)
+        metrics["token_acc"] = (masked_mean(tok_acc, valid)
+                                if valid is not None else tok_acc.mean())
     else:
         raise ValueError(v)
     metrics["loss"] = loss
@@ -129,7 +142,8 @@ def make_train_step(cfg, mesh=None, donate: bool = True,
             variables = {"params": params, **state.model_state}
             kwargs = dict(
                 order_labels=(batch["labels"]
-                              if cfg.hierarchical_version in ("p0", "p1")
+                              if cfg.hierarchical_version in
+                              ("p0", "p1", "decode")
                               else None),
                 deterministic=False,
                 rngs={"dropout": dropout_rng})
@@ -171,6 +185,38 @@ def make_train_step(cfg, mesh=None, donate: bool = True,
         in_shardings=(state_in, data, repl),
         out_shardings=(state_out, repl),
         donate_argnums=(0,) if donate else ())
+
+
+def make_berson_train_step(mesh) -> Callable:
+    """Jitted BERSON train step: the wrapper model computes its own loss
+    (pointer NLL + 0.6x pairwise CE, `modeling_bert.py:1144-1174`), so the
+    step just differentiates `out["loss"]`. Batch data-sharded, params
+    replicated, state donated — same DP contract as make_train_step."""
+
+    def step(state, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        mutable = list(state.model_state.keys())
+
+        def loss_fn(p):
+            v = {"params": p, **state.model_state}
+            if mutable:
+                out, new_ms = state.apply_fn(
+                    v, batch, deterministic=False, rngs={"dropout": rng},
+                    mutable=mutable)
+            else:
+                out = state.apply_fn(v, batch, deterministic=False,
+                                     rngs={"dropout": rng})
+                new_ms = state.model_state
+            return out["loss"], (out, new_ms)
+
+        (loss, (out, new_ms)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_ms), out
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step, in_shardings=(repl, data_sh, repl),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
 
 
 def make_eval_step(cfg, mesh=None) -> Callable:

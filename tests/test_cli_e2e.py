@@ -389,3 +389,26 @@ def test_restore_checkpoint_without_optimizer(wikihow_dir, tmp_path):
         np.asarray(jax.tree.leaves(got.params)[0]),
         np.asarray(jax.tree.leaves(state.params)[0]))
     assert int(jax.device_get(got.step)) == 0
+
+
+def test_multihost_hook_attempts_distributed_init(monkeypatch):
+    # the TPU-native replacement for the reference's
+    # init_process_group(nccl) (`train.py:1433-1437`) must be attempted
+    # whenever a multi-process coordinator is advertised in the env
+    import jax
+    from multimodal_sequencing_tpu.train.cli import _apply_runtime_flags
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    args = build_parser("train").parse_args(
+        ["--model_name_or_path", "simple", "--output_dir", "/tmp/x"])
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+    _apply_runtime_flags(args)
+    assert not calls  # single-host: no init attempt
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    _apply_runtime_flags(args)
+    assert calls  # coordinator advertised: init attempted
