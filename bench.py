@@ -1,29 +1,109 @@
-"""Benchmark: flagship train-step throughput on real hardware.
+"""Benchmark: flagship throughput on real hardware.
 
-Measures stories(sequences)/sec/chip for the WikiHow finetune-shaped
-workload (RoBERTa-large-class encoder, packed 5-step stories, heatmap
-ordering head, fused fwd+bwd+AdamW train step) and prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Covers the three shipped workloads (BENCH_MODE env selects; default
+"all" runs every mode and reports the text flagship as the primary
+metric, with the others as extra fields on the same JSON line):
+
+  text        RoBERTa-large-class encoder, packed 5-step stories,
+              heatmap ordering head, fused fwd+bwd+AdamW train step.
+  multimodal  CLIP-RN50 joint encoder (5x224^2 uint8 images/story folded
+              into one visual stream) + heatmap head train step — the
+              model family every shipped reference script trains
+              (scripts/wikihow_finetune.sh sets MODEL_TYPE="clip").
+  berson      BERSON ordering wrapper (20 packed pairs/story through the
+              encoder + hierarchical attention + relational pointer):
+              train step AND batched beam-16 decode
+              (`modeling_bert.py:943-1237,1411-1552`).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}
+with per-mode MFU (model flops from XLA cost analysis / chip peak).
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
-we anchor to a measured-equivalent estimate of the reference's A100 PyTorch
-step on the same workload — batch 8 stories, seq 300+, RoBERTa-large fwd+bwd
-at ~30 stories/sec/A100 (per_gpu_train_batch_size 1-4 in scripts/, DDP) —
-the BASELINE.json target is >=5x that, i.e. 150 stories/sec/chip.
+we anchor to a measured-equivalent ESTIMATE of the reference's A100
+PyTorch step on the same workload — batch 8 stories, seq 300+,
+RoBERTa-large fwd+bwd at ~30 stories/sec/A100 (per_gpu_train_batch_size
+1-4 in scripts/, DDP) — the BASELINE.json target is >=5x that.
 """
 
 import json
+import os
+import sys
 import time
 
-A100_BASELINE_STORIES_PER_SEC = 30.0
+A100_BASELINE_STORIES_PER_SEC = 30.0  # estimate; see module docstring
+
+# bf16 peak FLOP/s per chip by device kind (public spec sheets)
+_PEAKS = (("v6", 918e12), ("trillium", 918e12), ("v5p", 459e12),
+          ("v5 lite", 197e12), ("v5e", 197e12), ("v5", 459e12),
+          ("v4", 275e12))
 
 
-def main():
+def _peak_flops():
     import jax
-    # hardware RBG dropout bits instead of threefry (~15% step-time saving;
-    # training-quality neutral)
-    jax.config.update("jax_default_prng_impl", "rbg")
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAKS:
+        if key in kind:
+            return peak
+    return None
 
+
+def _cost_flops(jitted, *args):
+    """Per-execution model FLOPs from XLA cost analysis (0 if the backend
+    doesn't report them)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _mfu(flops, sec_per_step, n_dev):
+    peak = _peak_flops()
+    if not flops or not peak or sec_per_step <= 0:
+        return None
+    return round(flops / sec_per_step / (peak * n_dev), 4)
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# Timing protocol for the remote-tunnel runtime: block_until_ready alone
+# under-reports (returns before remote completion), and a D2H fetch per
+# step adds a full tunnel RTT (~20-40ms) that real training never pays.
+# So: enqueue the whole timed loop async, then force ONE final D2H fetch —
+# the chain of donated states serializes the steps, and the single RTT
+# amortizes away.
+def _time_train(step, state, batch, rng, iters, warmup=5):
+    import jax
+    for _ in range(warmup):
+        state, m = step(state, batch, rng)
+        _ = float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, rng)
+    _ = float(m["loss"])
+    # return the live state too: donation deleted every earlier state's
+    # buffers, so callers must not touch their pre-loop reference
+    return (time.perf_counter() - t0) / iters, state
+
+
+def _synth_images(cfg, batch_size, seed=7):
+    import numpy as np
+    h, w = cfg.image_size
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 255, (batch_size, cfg.max_story_length, h, w, 3),
+                       ).astype(np.uint8)
+
+
+def _tiny():
+    return os.environ.get("BENCH_TINY") == "1"
+
+
+def bench_text(n_dev):
+    import jax
     from __graft_entry__ import _flagship_cfg, _synth_batch
     from multimodal_sequencing_tpu.models.sequencer import SequencingModel
     from multimodal_sequencing_tpu.parallel.mesh import make_mesh, shard_batch
@@ -31,11 +111,9 @@ def main():
         make_train_state, make_optimizer)
     from multimodal_sequencing_tpu.train.steps import make_train_step
 
-    import os
-    cfg = _flagship_cfg()
-    n_dev = len(jax.devices())
-    batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", "8"))
-    batch = _synth_batch(cfg, batch_size=batch_per_chip * n_dev)
+    cfg = _flagship_cfg(tiny=_tiny())
+    bpc = int(os.environ.get("BENCH_BATCH_PER_CHIP", "8"))
+    batch = _synth_batch(cfg, batch_size=bpc * n_dev)
     mesh = make_mesh()
     model = SequencingModel(cfg)
     state = make_train_state(
@@ -45,32 +123,185 @@ def main():
     step = make_train_step(cfg, mesh, with_grad_norm=False)
     dbatch = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(1)
+    flops = _cost_flops(step, state, dbatch, rng)
+    dt, state = _time_train(step, state, dbatch, rng, iters=30, warmup=8)
+    per_chip = bpc / dt
+    _log(f"text: {per_chip:.1f} stories/s/chip ({dt*1e3:.1f}ms/step)")
+    return {"stories_per_sec_per_chip": round(per_chip, 2),
+            "mfu": _mfu(flops, dt, n_dev)}
 
-    # compile + warmup. Timing protocol for the remote-tunnel runtime:
-    # block_until_ready alone under-reports (returns before remote
-    # completion), and a D2H fetch per step adds a full tunnel RTT
-    # (~20-40ms) that real training never pays. So: enqueue the whole timed
-    # loop async, then force ONE final D2H fetch — the chain of donated
-    # states serializes the steps, and the single RTT amortizes away.
-    for _ in range(8):
-        state, m = step(state, dbatch, rng)
-        _ = float(m["loss"])
 
-    iters = 30
+def bench_multimodal(n_dev):
+    import jax
+    from __graft_entry__ import _flagship_cfg, _synth_batch
+    from multimodal_sequencing_tpu.models.clip_visual import CLIPVisionConfig
+    from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+    from multimodal_sequencing_tpu.parallel.mesh import make_mesh, shard_batch
+    from multimodal_sequencing_tpu.train.state import (
+        make_train_state, make_optimizer)
+    from multimodal_sequencing_tpu.train.steps import make_train_step
+
+    cfg = _flagship_cfg(tiny=_tiny())
+    cfg.multimodal = True
+    cfg.multimodal_model_type = "clip"
+    cfg.clip_model_name = "RN50"
+    cfg.image_size = (32, 32) if _tiny() else (224, 224)
+    vcfg = (CLIPVisionConfig.tiny_rn(dtype=cfg.encoder.dtype) if _tiny()
+            else CLIPVisionConfig.rn50(dtype=cfg.encoder.dtype))
+    vcfg.image_resolution = cfg.image_size[0]
+    bpc = int(os.environ.get("BENCH_MM_BATCH_PER_CHIP", "4"))
+    batch = _synth_batch(cfg, batch_size=bpc * n_dev)
+    batch["images"] = _synth_images(cfg, bpc * n_dev)
+    mesh = make_mesh()
+    model = SequencingModel(cfg, vcfg)
+    state = make_train_state(
+        model, jax.random.PRNGKey(0), batch,
+        tx=make_optimizer(learning_rate=5e-6, warmup_steps=10,
+                          total_steps=1000))
+    step = make_train_step(cfg, mesh, with_grad_norm=False)
+    dbatch = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+    flops = _cost_flops(step, state, dbatch, rng)
+    dt, state = _time_train(step, state, dbatch, rng, iters=15, warmup=5)
+    per_chip = bpc / dt
+    _log(f"multimodal: {per_chip:.1f} stories/s/chip ({dt*1e3:.1f}ms/step)")
+    return {"stories_per_sec_per_chip": round(per_chip, 2),
+            "mfu": _mfu(flops, dt, n_dev)}
+
+
+def _berson_batch(cfg, batch_size, seed=3):
+    import numpy as np
+    from multimodal_sequencing_tpu.data.packing import StoryPacker
+    from multimodal_sequencing_tpu.data.tokenization import (
+        SimpleWordTokenizer)
+    rng = np.random.RandomState(seed)
+    tok = SimpleWordTokenizer(vocab_size=cfg.encoder.vocab_size)
+    packer = StoryPacker(tok, cfg.max_seq_length, cfg.per_seq_max_length)
+    n = cfg.max_story_length
+    items = []
+    for b in range(batch_size):
+        texts = [" ".join(f"w{rng.randint(20000)}" for _ in range(45))
+                 for _ in range(n)]
+        label = rng.permutation(n).astype(np.int32)
+        item = packer.pack_berson_story(texts, label.tolist(),
+                                        max_story_length=n)
+        item["labels"] = label
+        items.append(item)
+    return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def bench_berson(n_dev):
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship_cfg
+    from multimodal_sequencing_tpu.models.berson import BersonOrdering
+    from multimodal_sequencing_tpu.parallel.mesh import make_mesh, shard_batch
+    from multimodal_sequencing_tpu.train.state import (
+        TrainState, make_optimizer)
+    from multimodal_sequencing_tpu.train.steps import make_berson_train_step
+
+    cfg = _flagship_cfg(tiny=_tiny())
+    cfg.cls_id, cfg.pad_id = 0, 1  # SimpleWordTokenizer ids
+    bpc = int(os.environ.get("BENCH_BERSON_BATCH_PER_CHIP", "2"))
+    batch = _berson_batch(cfg, bpc * n_dev)
+    mesh = make_mesh()
+    model = BersonOrdering(cfg, beam_size=16)
+    tx = make_optimizer(learning_rate=5e-6, warmup_steps=10,
+                        total_steps=1000)
+    init_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = dict(model.init(jax.random.PRNGKey(0), init_batch))
+    params = variables.pop("params")
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), model_state=variables,
+                       tx=tx, apply_fn=model.apply)
+    step = make_berson_train_step(mesh)
+    dbatch = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+    flops = _cost_flops(step, state, dbatch, rng)
+    dt, state = _time_train(step, state, dbatch, rng, iters=15, warmup=5)
+    train_per_chip = bpc / dt
+    _log(f"berson train: {train_per_chip:.1f} stories/s/chip "
+         f"({dt*1e3:.1f}ms/step)")
+
+    # beam-16 decode: one batched (B x W) tensor program per story batch
+    eval_vars = {"params": state.params, **state.model_state}
+    decode_bs = int(os.environ.get("BENCH_BERSON_DECODE_BATCH", "16"))
+    dec_batch = {k: jnp.asarray(v)
+                 for k, v in _berson_batch(cfg, decode_bs, seed=5).items()}
+
+    @jax.jit
+    def decode(v, b):
+        return model.apply(v, b, method=BersonOrdering.beam_search)
+
+    dec_flops = _cost_flops(decode, eval_vars, dec_batch)
+    for _ in range(3):
+        out = decode(eval_vars, dec_batch)
+    _ = out.block_until_ready()
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = step(state, dbatch, rng)
-    _ = float(m["loss"])
-    dt = time.perf_counter() - t0
+        out = decode(eval_vars, dec_batch)
+    _ = out.block_until_ready()
+    ddt = (time.perf_counter() - t0) / iters
+    decode_per_sec = decode_bs / ddt
+    _log(f"berson beam-16 decode: {decode_per_sec:.1f} stories/s "
+         f"({ddt*1e3:.1f}ms/batch-{decode_bs})")
+    return {"train_stories_per_sec_per_chip": round(train_per_chip, 2),
+            "train_mfu": _mfu(flops, dt, n_dev),
+            "beam16_stories_per_sec": round(decode_per_sec, 2),
+            "beam16_mfu": _mfu(dec_flops, ddt, 1)}
 
-    stories_per_sec = iters * batch_per_chip * n_dev / dt
-    per_chip = stories_per_sec / n_dev
-    print(json.dumps({
-        "metric": "train_stories_per_sec_per_chip",
-        "value": round(per_chip, 2),
+
+def main():
+    import jax
+    # hardware RBG dropout bits instead of threefry (~15% step-time saving;
+    # training-quality neutral)
+    jax.config.update("jax_default_prng_impl", "rbg")
+    n_dev = len(jax.devices())
+    mode = os.environ.get("BENCH_MODE", "all")
+
+    results = {}
+    if mode in ("all", "text"):
+        results["text"] = bench_text(n_dev)
+    if mode in ("all", "multimodal"):
+        results["multimodal"] = bench_multimodal(n_dev)
+    if mode in ("all", "berson"):
+        results["berson"] = bench_berson(n_dev)
+
+    if "text" in results:
+        primary_name = "train_stories_per_sec_per_chip"
+        primary = results["text"]["stories_per_sec_per_chip"]
+        primary_mfu = results["text"]["mfu"]
+    elif "multimodal" in results:
+        primary_name = "multimodal_train_stories_per_sec_per_chip"
+        primary = results["multimodal"]["stories_per_sec_per_chip"]
+        primary_mfu = results["multimodal"]["mfu"]
+    else:
+        primary_name = "berson_train_stories_per_sec_per_chip"
+        primary = results["berson"]["train_stories_per_sec_per_chip"]
+        primary_mfu = results["berson"]["train_mfu"]
+
+    line = {
+        "metric": primary_name,
+        "value": primary,
         "unit": "stories/s/chip",
-        "vs_baseline": round(per_chip / A100_BASELINE_STORIES_PER_SEC, 2),
-    }))
+        # vs an ESTIMATED A100 anchor — the reference publishes no numbers
+        "vs_baseline": round(primary / A100_BASELINE_STORIES_PER_SEC, 2),
+        "baseline_is_estimate": True,
+    }
+    if primary_mfu is not None:
+        line["mfu"] = primary_mfu
+    if "multimodal" in results and mode == "all":
+        line["multimodal_train_stories_per_sec_per_chip"] = (
+            results["multimodal"]["stories_per_sec_per_chip"])
+        line["multimodal_mfu"] = results["multimodal"]["mfu"]
+    if "berson" in results and mode == "all":
+        line["berson_train_stories_per_sec_per_chip"] = (
+            results["berson"]["train_stories_per_sec_per_chip"])
+        line["berson_train_mfu"] = results["berson"]["train_mfu"]
+        line["berson_beam16_stories_per_sec"] = (
+            results["berson"]["beam16_stories_per_sec"])
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
