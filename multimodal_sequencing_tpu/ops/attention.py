@@ -2,17 +2,28 @@
 
 The encoder hot op. Two paths with identical semantics:
   * `attention_reference` — XLA's fused attention from an einsum/softmax
-    formulation; fastest at the product's short sequences (chained fwd
-    measurements on v5e, B=2 H=16 D=64: S=2048 XLA 3.12ms vs Pallas
-    3.28ms).
+    formulation; fastest at the product's short sequences.
   * `flash_attention` — Pallas online-softmax kernel taking the raw (B, S)
     key mask (NOT an S x S bias: streaming a materialized bias costs S^2
-    HBM traffic, which is what makes naive flash kernels lose). Wins past
-    the ~4k crossover (S=4096: Pallas 8.15ms vs XLA 8.68ms; bf16 max
-    deviation vs reference 2e-3) and is the building block for future
-    context-parallel sharding.
+    HBM traffic, which is what makes naive flash kernels lose), and the
+    building block for future context-parallel sharding.
 
-Dispatch: XLA below PALLAS_MIN_SEQ, Pallas above (block-aligned shapes).
+The differentiable entry (`_flash_attention_ad`) carries a full Pallas
+backward: the forward saves the per-row logsumexp, the backward runs two
+kernels (dq over q-blocks; dk/dv over kv-blocks) with the standard
+delta = rowsum(dO * O) trick — no S x S materialization anywhere.
+
+Measured on v5e (B=2 H=16 D=64, bf16; chained-dispatch timing):
+  S=512   fwd XLA 1.81ms / flash 5.10ms   fwd+bwd XLA 2.19ms / 3.40ms
+  S=1024  fwd XLA 2.86ms / flash 2.09ms   fwd+bwd XLA 2.60ms / 4.13ms
+  S=2048  fwd XLA 3.69ms / flash 3.35ms   fwd+bwd XLA 7.36ms / 6.31ms
+  S=4096  fwd XLA 8.19ms / flash 8.36ms   fwd+bwd XLA 24.6ms / 19.5ms
+  S=8192  XLA fails to compile (S^2 buffers exceed HBM); flash runs
+          (fwd 29.5ms, fwd+bwd 72.7ms)
+=> dispatch crossover PALLAS_MIN_SEQ = 2048 (was 4096 with the XLA
+fallback backward). bf16 deviation vs reference: fwd 2e-3, grads 8e-3
+(one bf16 ulp at unit scale).
+
 Replaces the reference's torch softmax attention
 (`/root/reference/models/CLIP/src/lxrt/modeling.py` BertAttention et al.).
 """
@@ -52,10 +63,14 @@ def attention_reference(q, k, v, mask: Optional[jax.Array] = None,
     return jnp.einsum("bhst,bhtd->bhsd", probs.astype(dtype), v)
 
 
-def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
-                  *, block_k: int, seq_len: int, scale: float):
-    """One (batch, head, q-block) program: online softmax over K/V blocks.
-    mask_ref is the (1, S) key keep-mask for this batch row."""
+# ----- forward kernel ---------------------------------------------------------
+
+
+def _flash_fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      *, block_k: int, seq_len: int, scale: float):
+    """One (batch*head, q-block) program: online softmax over K/V blocks.
+    mask_ref is the (1, 1, S) key keep-mask for this batch row; lse_ref
+    receives the per-q-row logsumexp (saved for the backward)."""
     q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
     block_q, d = q.shape
     num_kb = seq_len // block_k
@@ -81,37 +96,24 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[0] = (acc / jnp.maximum(l_i, 1e-30)).astype(o_ref.dtype)
+    acc, m_i, l_i = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    l_safe = jnp.maximum(l_i, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = (m_i + jnp.log(l_safe))[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def flash_attention(q, k, v, mask=None, block_q: int = 512,
-                    block_k: int = 512):
-    """Pallas flash attention. q,k,v: (B, H, S, D); mask: (B, S) key
-    keep-mask ({0,1}). S must divide by the block sizes (caller pads;
-    padded keys must be masked off)."""
+def _fwd_pallas(q, k, v, mask, block_q, block_k, interpret):
     b, h, s, d = q.shape
-    block_q = min(block_q, s)
-    block_k = min(block_k, s)
-    assert s % block_q == 0 and s % block_k == 0, (
-        f"seq {s} must be a multiple of block sizes")
-    if mask is None:
-        mask = jnp.ones((b, s), jnp.int32)
-    # (B, 1, S): satisfies the TPU block-shape sublane constraint
-    mask = mask.astype(jnp.int32).reshape(b, 1, s)
-
     bh = b * h
-    qf = q.reshape(bh, s, d)
-    kf = k.reshape(bh, s, d)
-    vf = v.reshape(bh, s, d)
+    mask3 = mask.astype(jnp.int32).reshape(b, 1, s)
+    qf, kf, vf = (x.reshape(bh, s, d) for x in (q, k, v))
     scale = 1.0 / math.sqrt(d)
-
     grid = (bh, s // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, seq_len=s,
+    o, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, block_k=block_k, seq_len=s,
                           scale=scale),
-        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        out_shape=(jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, 1, s), jnp.float32)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, s), lambda i, j: (i // h, 0, 0)),
@@ -119,29 +121,189 @@ def flash_attention(q, k, v, mask=None, block_q: int = 512,
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),
         ],
+        out_specs=(pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
+                   pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j))),
+        interpret=interpret,
+    )(mask3, qf, kf, vf)
+    return o.reshape(b, h, s, d), lse
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(q, k, v, mask=None, block_q: int = 512,
+                    block_k: int = 512, interpret: bool = False):
+    """Pallas flash attention (forward only). q,k,v: (B, H, S, D); mask:
+    (B, S) key keep-mask ({0,1}). S must divide by the block sizes (caller
+    pads; padded keys must be masked off). `interpret=True` runs the
+    kernel in the Pallas interpreter (CPU test path)."""
+    b, h, s, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    assert s % block_q == 0 and s % block_k == 0, (
+        f"seq {s} must be a multiple of block sizes")
+    if mask is None:
+        mask = jnp.ones((b, s), jnp.int32)
+    o, _ = _fwd_pallas(q, k, v, mask, block_q, block_k, interpret)
+    return o
+
+
+# ----- backward kernels -------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref,
+                         *, block_k: int, seq_len: int, scale: float):
+    """One (batch*head, q-block) program: dq = scale * ds @ K with
+    ds = p * (dO @ V^T - delta)."""
+    q = q_ref[0].astype(jnp.float32)       # (block_q, d)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, None]           # (block_q, 1)
+    delta = delta_ref[0, 0][:, None]
+    block_q, d = q.shape
+    num_kb = seq_len // block_k
+
+    def body(kb, acc):
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        keep = mask_ref[0, 0, pl.ds(kb * block_k, block_k)] != 0
+        p = jnp.where(keep[None, :], jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, num_kb, body,
+                            jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref,
+                          *, block_q: int, seq_len: int, scale: float):
+    """One (batch*head, kv-block) program: dv = P^T @ dO and
+    dk = scale * ds^T @ Q accumulated over q-blocks."""
+    k = k_ref[0].astype(jnp.float32)       # (block_k, d)
+    v = v_ref[0].astype(jnp.float32)
+    keep = (mask_ref[0, 0, :] != 0)[None, :]   # (1, block_k)
+    block_k, d = k.shape
+    num_qb = seq_len // block_q
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(
+            jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q)][:, None]
+        s = scale * jax.lax.dot_general(
+            q_blk, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (block_q, block_k)
+        p = jnp.where(keep, jnp.exp(s - lse), 0.0)
+        dv_new = dv_acc + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_blk, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_new = dk_acc + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    dk, dv = jax.lax.fori_loop(
+        0, num_qb, body, (jnp.zeros((block_k, d), jnp.float32),
+                          jnp.zeros((block_k, d), jnp.float32)))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = 512,
+                        block_k: int = 512, interpret: bool = False):
+    """Pallas flash backward: (dq, dk, dv) from the saved forward output
+    `o` and per-row logsumexp `lse`."""
+    b, h, s, d = q.shape
+    block_q = min(block_q, s)
+    block_k = min(block_k, s)
+    bh = b * h
+    mask3 = mask.astype(jnp.int32).reshape(b, 1, s)
+    qf, kf, vf, of, gf = (x.reshape(bh, s, d) for x in (q, k, v, o, g))
+    scale = 1.0 / math.sqrt(d)
+    # delta_i = sum_d dO_i * O_i — one fused elementwise+reduce in XLA
+    delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
+                    -1).reshape(bh, 1, s)
+
+    row_specs = [
+        pl.BlockSpec((1, 1, s), lambda i, j: (i // h, 0, 0)),   # mask
+        pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),        # q
+        pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),        # k
+        pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),        # v
+        pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),        # do
+        pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0)),        # lse
+        pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0)),        # delta
+    ]
+
+    dq_specs = list(row_specs)
+    dq_specs[1] = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0))
+    dq_specs[4] = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0))
+    dq_specs[5] = pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j))
+    dq_specs[6] = pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j))
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, seq_len=s,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        grid=(bh, s // block_q),
+        in_specs=dq_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
-    )(mask, qf, kf, vf)
-    return out.reshape(b, h, s, d)
+        interpret=interpret,
+    )(mask3, qf, kf, vf, gf, lse, delta)
+
+    dkv_specs = list(row_specs)
+    dkv_specs[0] = pl.BlockSpec((1, 1, block_k), lambda i, j: (i // h, 0, j))
+    dkv_specs[2] = pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0))
+    dkv_specs[3] = pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q,
+                          seq_len=s, scale=scale),
+        out_shape=(jax.ShapeDtypeStruct((bh, s, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, s, d), v.dtype)),
+        grid=(bh, s // block_k),
+        in_specs=dkv_specs,
+        out_specs=(pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
+                   pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0))),
+        interpret=interpret,
+    )(mask3, qf, kf, vf, gf, lse, delta)
+
+    shape = (b, h, s, d)
+    return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
 
 
-@jax.custom_vjp
-def _flash_attention_ad(q, k, v, mask):
-    return flash_attention(q, k, v, mask)
+# ----- differentiable entry ---------------------------------------------------
 
 
-def _flash_fwd(q, k, v, mask):
-    return flash_attention(q, k, v, mask), (q, k, v, mask)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _flash_attention_ad(q, k, v, mask, interpret=False):
+    b, h, s, d = q.shape
+    o, _ = _fwd_pallas(q, k, v, mask, min(512, s), min(512, s), interpret)
+    return o
 
 
-def _flash_bwd(res, g):
-    # Backward via the reference formulation (XLA-fused softmax attention):
-    # exact gradients; a dedicated Pallas backward kernel can replace this
-    # without touching callers.
-    q, k, v, mask = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: attention_reference(q_, k_, v_, mask=mask),
-        q, k, v)
-    dq, dk, dv = vjp(g)
+def _flash_fwd(q, k, v, mask, interpret):
+    b, h, s, d = q.shape
+    o, lse = _fwd_pallas(q, k, v, mask, min(512, s), min(512, s), interpret)
+    return o, (q, k, v, mask, o, lse)
+
+
+def _flash_bwd(interpret, res, g):
+    q, k, v, mask, o, lse = res
+    dq, dk, dv = flash_attention_bwd(q, k, v, mask, o, lse, g,
+                                     interpret=interpret)
     return dq, dk, dv, None
 
 
@@ -153,8 +315,9 @@ def _use_pallas() -> bool:
 
 
 # Below this sequence length XLA's fused attention wins on v5e (see module
-# docstring measurements); the flash kernel wins past the crossover.
-PALLAS_MIN_SEQ = 4096
+# docstring measurements); the flash kernel (with its Pallas backward)
+# wins past the crossover and is the only path that runs at S>=8192.
+PALLAS_MIN_SEQ = 2048
 
 
 def multihead_attention(q, k, v, mask=None, bias=None,
