@@ -40,6 +40,14 @@ class EncoderConfig:
     # tanh-approximate GELU (cheaper on the VPU than erf; HF parity needs
     # erf, so conversion-loaded models should keep False)
     gelu_approximate: bool = False
+    # "probs": dropout on the softmax attention probabilities — exact HF
+    # semantics (reference BertSelfAttention), the default so finetuning
+    # from converted checkpoints matches the reference's regularization.
+    # "folded": skip prob dropout and rely on the output-projection
+    # dropout — keeps attention fused (no S x S mask materialization);
+    # measured ~12% faster train step on v5e at the flagship shape
+    # (160.8 vs 143.7 stories/s/chip).
+    attention_dropout_mode: str = "probs"
 
     @property
     def compute_dtype(self):

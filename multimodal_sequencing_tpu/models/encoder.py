@@ -23,11 +23,14 @@ from ..ops.attention import multihead_attention, NEG_INF
 class SelfAttention(nn.Module):
     """Multi-head self attention.
 
-    Deviation from BERT noted: the reference applies dropout to the
-    attention probabilities (attention_probs_dropout_prob); here
-    regularization is folded into the output-projection dropout — prob
-    dropout would materialize S x S masks and defeat attention fusion.
-    A common performance-implementation trade; rates are configurable."""
+    Two training-time dropout modes (cfg.attention_dropout_mode):
+    "probs" (default) applies dropout to the softmax attention
+    probabilities exactly like the reference's BertSelfAttention —
+    faithful semantics for finetuning converted HF checkpoints; "folded"
+    skips prob dropout (regularization comes from the output-projection
+    dropout alone), keeping attention fused with no S x S mask
+    materialization — a documented perf option. Eval/deterministic paths
+    are identical in both modes."""
     cfg: EncoderConfig
 
     @nn.compact
@@ -42,9 +45,28 @@ class SelfAttention(nn.Module):
         b, s, _ = q.shape
         h, d = cfg.num_attention_heads, cfg.head_dim
         split = lambda x: x.reshape(b, s, h, d).transpose(0, 2, 1, 3)
-        ctx = multihead_attention(
-            split(q), split(k), split(v), mask=mask,
-            force_reference=not cfg.use_pallas_attention)
+        prob_dropout = (not deterministic
+                        and cfg.attention_dropout_mode == "probs"
+                        and cfg.attention_probs_dropout_prob > 0.0)
+        if prob_dropout:
+            # reference semantics: softmax -> dropout(probs) -> @ v
+            # (HF BertSelfAttention)
+            import math as _math
+            qh, kh, vh = split(q), split(k), split(v)
+            logits = jnp.einsum(
+                "bhsd,bhtd->bhst", qh, kh,
+                preferred_element_type=jnp.float32
+            ) * (1.0 / _math.sqrt(d))
+            logits = logits + jnp.where(
+                mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+            probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+            probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                probs, deterministic=False)
+            ctx = jnp.einsum("bhst,bhtd->bhsd", probs, vh)
+        else:
+            ctx = multihead_attention(
+                split(q), split(k), split(v), mask=mask,
+                force_reference=not cfg.use_pallas_attention)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, cfg.hidden_size)
         out = nn.Dense(cfg.hidden_size, dtype=dtype, name="out")(ctx)
         out = nn.Dropout(cfg.hidden_dropout_prob)(

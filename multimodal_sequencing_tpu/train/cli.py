@@ -142,6 +142,11 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--gelu_approximate", action="store_true",
         help="tanh-approximate GELU (~17%% faster steps on v5e; keep off "
              "when continuing from converted HF checkpoints)")
+    add("--attention_dropout_mode", type=str, default="probs",
+        choices=["probs", "folded"],
+        help="probs = dropout on attention probabilities (exact HF/"
+             "reference train semantics); folded = skip it and rely on "
+             "output dropout (keeps attention fused; faster)")
     add("--model_parallel_size", type=int, default=1,
         help="mesh model-axis size; >1 shards qkv/MLP kernels "
              "(Megatron-style TP, parallel/sharding_rules)")
@@ -185,6 +190,8 @@ def build_config(args):
         enc.type_vocab_size = args.max_story_length
     if getattr(args, "gelu_approximate", False):
         enc.gelu_approximate = True
+    enc.attention_dropout_mode = getattr(args, "attention_dropout_mode",
+                                         "probs")
     cfg = MultimodalConfig(
         encoder=enc,
         max_story_length=args.max_story_length,

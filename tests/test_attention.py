@@ -86,3 +86,27 @@ def test_flash_backward_multiblock():
         np.testing.assert_allclose(
             np.asarray(got_g), np.asarray(w), atol=5e-5, rtol=5e-4,
             err_msg=f"d{name} mismatch")
+
+
+def test_attention_dropout_modes():
+    # "probs" (HF-faithful) vs "folded" (fused perf): identical in eval,
+    # different dropout streams in train mode
+    from multimodal_sequencing_tpu.models.config import EncoderConfig
+    from multimodal_sequencing_tpu.models.encoder import TextEncoder
+
+    ids = np.asarray(np.random.RandomState(0).randint(5, 900, (2, 32)),
+                     np.int32)
+    outs = {}
+    for mode in ("probs", "folded"):
+        cfg = EncoderConfig.tiny(attention_dropout_mode=mode)
+        model = TextEncoder(cfg)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+        eval_seq, _ = model.apply(variables, jnp.asarray(ids),
+                                  deterministic=True)
+        train_seq, _ = model.apply(
+            variables, jnp.asarray(ids), deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(7)})
+        outs[mode] = (np.asarray(eval_seq), np.asarray(train_seq))
+    np.testing.assert_allclose(outs["probs"][0], outs["folded"][0],
+                               atol=1e-6)  # eval identical
+    assert not np.allclose(outs["probs"][1], outs["folded"][1])
