@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from .config import MultimodalConfig
 from .encoder import Embeddings, TransformerLayer
-from .resnet import ResNetBackbone
+from .fpn import build_pooled_vision_tower
 from .heads import ClassificationHead
 
 
@@ -47,9 +47,8 @@ class NaiveMultimodalModel(nn.Module):
                                                  size=images.shape[2:4])
             nhwc = jnp.transpose(
                 images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))
-            feats = ResNetBackbone(self.vision_name,
-                                   dtype=ecfg.compute_dtype,
-                                   name="vision_model")(
+            feats = build_pooled_vision_tower(
+                self.vision_name, dtype=ecfg.compute_dtype)(
                 nhwc, deterministic=deterministic)
             if cfg.freeze_vision_model:
                 feats = jax.lax.stop_gradient(feats)

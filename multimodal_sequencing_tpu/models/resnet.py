@@ -83,12 +83,17 @@ def resnet_feature_dim(name: str) -> int:
 
 
 class ResNetBackbone(nn.Module):
-    """Returns pooled (B, C) features (fc removed, like the use sites)."""
+    """Returns pooled (B, C) features (fc removed, like the use sites).
+
+    `return_stages=True` instead returns the {"c2".."c5"} per-stage NHWC
+    feature dict (strides 4/8/16/32) that the FPN tower (`models/fpn.py`)
+    builds on — the JAX analogue of detectron2's `bottom_up` outputs."""
     name_: str = "resnet50"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, pool: bool = True):
+    def __call__(self, x, deterministic: bool = True, pool: bool = True,
+                 return_stages: bool = False):
         block_cls, layers, _ = _SPECS[self.name_]
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
@@ -97,12 +102,16 @@ class ResNetBackbone(nn.Module):
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=self.dtype, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        stages = {}
         for stage, (blocks, planes, stride) in enumerate(zip(
                 layers, (64, 128, 256, 512), (1, 2, 2, 2))):
             for b in range(blocks):
                 x = block_cls(planes, stride=stride if b == 0 else 1,
                               dtype=self.dtype,
                               name=f"layer{stage+1}_{b}")(x, deterministic)
+            stages[f"c{stage+2}"] = x
+        if return_stages:
+            return stages
         if pool:
             return x.mean(axis=(1, 2))
         return x

@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from .config import MultimodalConfig
 from .encoder import Embeddings, TransformerLayer
+from .fpn import FPNVisionTower
 from .resnet import ResNetBackbone
 
 
@@ -78,10 +79,33 @@ class VisualBERTEncoder(nn.Module):
                                                  size=images.shape[2:4])
             nhwc = jnp.transpose(
                 images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))
-            feats = ResNetBackbone(cfg.vision_model,
-                                   dtype=ecfg.compute_dtype,
-                                   name="vision_model")(
-                nhwc, deterministic=deterministic)
+            if cfg.vision_model.startswith("detectron2"):
+                # detectron2-style tower (ref multimodal_utils.py:30-167):
+                # FPN p6 per-step features; with K regional features and
+                # no precomputed sidecars, ROI features come from the
+                # tower inline like the reference's wrapper forward
+                inline_roi = bool(cfg.num_img_regional_features
+                                  and img_regional_features is None)
+                tower = FPNVisionTower(
+                    num_regional_features=(cfg.num_img_regional_features
+                                           if inline_roi else None),
+                    pool_full_img=cfg.include_full_img_features,
+                    dtype=ecfg.compute_dtype, name="vision_model")
+                if inline_roi:
+                    feats, reg, _, _ = tower(nhwc,
+                                             deterministic=deterministic)
+                    img_regional_features = reg.reshape(
+                        b, n, cfg.num_img_regional_features, -1)
+                    if cfg.freeze_vision_model:
+                        img_regional_features = jax.lax.stop_gradient(
+                            img_regional_features)
+                else:
+                    feats = tower(nhwc, deterministic=deterministic)
+            else:
+                feats = ResNetBackbone(cfg.vision_model,
+                                       dtype=ecfg.compute_dtype,
+                                       name="vision_model")(
+                    nhwc, deterministic=deterministic)
             if cfg.freeze_vision_model:
                 feats = jax.lax.stop_gradient(feats)
             feats = feats.reshape(b, n, -1)  # (B, N, C)
