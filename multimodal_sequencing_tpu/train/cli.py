@@ -150,6 +150,11 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--model_parallel_size", type=int, default=1,
         help="mesh model-axis size; >1 shards qkv/MLP kernels "
              "(Megatron-style TP, parallel/sharding_rules)")
+    add("--fsdp", action="store_true",
+        help="ZeRO-style fully-sharded data parallel: shard params + "
+             "optimizer moments over the mesh data axis (XLA inserts "
+             "all-gather/reduce-scatter); composes with "
+             "--model_parallel_size")
     add("--prng_impl", type=str, default="rbg",
         choices=["threefry2x32", "rbg", "unsafe_rbg"],
         help="dropout PRNG; rbg uses the TPU hardware generator "

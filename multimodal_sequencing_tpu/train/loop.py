@@ -113,10 +113,11 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
                         "loaded" if load_opt else "reset")
 
     st_shardings = None
-    if n_model > 1:
+    fsdp = bool(getattr(args, "fsdp", False))
+    if n_model > 1 or fsdp:
         from ..parallel.sharding_rules import tree_shardings, shard_state
-        st_shardings = tree_shardings(state, mesh)
-        state = shard_state(state, mesh)
+        st_shardings = tree_shardings(state, mesh, fsdp=fsdp)
+        state = shard_state(state, mesh, fsdp=fsdp)
     step_fn = make_train_step(cfg, mesh, state_shardings=st_shardings)
     rng = jax.random.PRNGKey(args.seed + 1)
 

@@ -150,3 +150,59 @@ def test_tensor_parallel_matches_replicated(wikihow_dir, tokenizer):
     spec = spec_for_path([K("encoder"), K("layer_0"), K("attention"),
                           K("query"), K("kernel")], leaf, 2)
     assert spec == P(None, "model")
+
+
+def test_fsdp_matches_replicated(wikihow_dir, tokenizer):
+    """FSDP (params + moments sharded over the data axis) computes the
+    same loss/updates as replicated DP — shardings change layout and
+    collectives, not math."""
+    from multimodal_sequencing_tpu.parallel.sharding_rules import (
+        tree_shardings, shard_state, _with_fsdp)
+    from jax.sharding import PartitionSpec as P
+
+    cfg, mesh_dp, batch, db_dp, state, step_dp = _setup(
+        wikihow_dir, tokenizer, "v1", lr=1e-3, total_steps=50, n_devices=8)
+    rng = jax.random.PRNGKey(1)
+    st_dp, m_dp = step_dp(state, db_dp, rng)
+
+    cfg2, _, batch2, _, state2, _ = _setup(
+        wikihow_dir, tokenizer, "v1", lr=1e-3, total_steps=50, n_devices=1)
+    mesh = make_mesh(n_data=8)
+    st_sh = tree_shardings(state2, mesh, fsdp=True)
+    state2 = shard_state(state2, mesh, fsdp=True)
+    step_fsdp = make_train_step(cfg2, mesh, state_shardings=st_sh)
+    db = shard_batch(device_batch(batch2), mesh)
+    st_f, m_f = step_fsdp(state2, db, rng)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_f["loss"]),
+                               rtol=1e-4)
+    # second step: updated (sharded) params produce the same loss too
+    _, m_dp2 = step_dp(st_dp, db_dp, rng)
+    _, m_f2 = step_fsdp(st_f, db, rng)
+    np.testing.assert_allclose(float(m_dp2["loss"]), float(m_f2["loss"]),
+                               rtol=1e-3)
+
+    # the rule shards a big 2-D kernel's largest dim over 'data' and
+    # composes with an existing TP spec on the other dim
+    big = np.zeros((512, 256))
+    assert _with_fsdp(P(), big, 8) == P("data", None)
+    assert _with_fsdp(P(None, "model"), big, 8) == P("data", "model")
+    small = np.zeros((64,))
+    assert _with_fsdp(P(), small, 8) == P()
+
+
+def test_fsdp_with_tp_mesh(wikihow_dir, tokenizer):
+    """FSDP composes with TP on a (data=4, model=2) mesh."""
+    from multimodal_sequencing_tpu.parallel.sharding_rules import (
+        tree_shardings, shard_state)
+
+    cfg, _, batch, _, state, _ = _setup(
+        wikihow_dir, tokenizer, "v1", lr=1e-3, total_steps=50, n_devices=1)
+    mesh = make_mesh(n_data=4, n_model=2)
+    st_sh = tree_shardings(state, mesh, fsdp=True)
+    state = shard_state(state, mesh, fsdp=True)
+    step = make_train_step(cfg, mesh, state_shardings=st_sh)
+    db = shard_batch(device_batch(batch), mesh)
+    st2, m = step(state, db, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    _, m2 = step(st2, db, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m2["loss"]))
