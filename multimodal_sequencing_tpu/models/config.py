@@ -40,6 +40,11 @@ class EncoderConfig:
     # tanh-approximate GELU (cheaper on the VPU than erf; HF parity needs
     # erf, so conversion-loaded models should keep False)
     gelu_approximate: bool = False
+    # Megatron-style sequence parallelism: between the TP matmul pairs,
+    # shard layer-boundary activations (B, S, H) over the mesh model axis
+    # along S (parallel/mesh.seq_shard). Only meaningful with
+    # model_parallel_size > 1; a no-op otherwise.
+    sequence_parallel: bool = False
     # "probs": dropout on the softmax attention probabilities — exact HF
     # semantics (reference BertSelfAttention), the default so finetuning
     # from converted checkpoints matches the reference's regularization.

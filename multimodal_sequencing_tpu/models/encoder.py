@@ -81,10 +81,16 @@ class TransformerLayer(nn.Module):
     def __call__(self, hidden, mask, deterministic: bool = True):
         cfg = self.cfg
         dtype = cfg.compute_dtype
+        seq_par = cfg.sequence_parallel
+        if seq_par:
+            from ..parallel.mesh import seq_shard
         attn = SelfAttention(cfg, name="attention")(
             hidden, mask, deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
                               name="attention_ln")(hidden + attn)
+        if seq_par:
+            # LN/residual region computes on S/model_size tokens per device
+            hidden = seq_shard(hidden)
         mlp = nn.Dense(cfg.intermediate_size, dtype=dtype,
                        name="intermediate")(hidden)
         mlp = nn.gelu(mlp, approximate=cfg.gelu_approximate)
@@ -93,6 +99,8 @@ class TransformerLayer(nn.Module):
             mlp, deterministic=deterministic)
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=dtype,
                               name="output_ln")(hidden + mlp)
+        if seq_par:
+            hidden = seq_shard(hidden)
         return hidden
 
 

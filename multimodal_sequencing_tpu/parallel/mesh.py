@@ -29,8 +29,11 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (
-        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    if n_data < 1 or n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh (data={n_data}, model={n_model}) does not fit "
+            f"{len(devices)} devices — run on a host with enough chips or "
+            f"force a virtual CPU platform (--num_cpu_devices N)")
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
@@ -48,6 +51,26 @@ def param_sharding(mesh: Mesh) -> NamedSharding:
 def replicate(tree, mesh: Mesh):
     sh = param_sharding(mesh)
     return jax.device_put(tree, sh)
+
+
+def seq_shard(x):
+    """Megatron-style sequence-parallel activation constraint: shard a
+    (B, S, H) activation as P(data, model, None) so the LN/dropout/residual
+    regions between the TP matmul pairs compute on S/model_size tokens per
+    device; XLA turns the surrounding TP all-reduces into
+    reduce-scatter + all-gather pairs. No-op when traced outside a mesh
+    context, when the mesh has no model axis to use, or when S does not
+    divide evenly — so model code can call it unconditionally."""
+    from jax.interpreters import pxla
+    mesh = pxla.thread_resources.env.physical_mesh
+    if (mesh.empty or MODEL_AXIS not in mesh.axis_names
+            or getattr(x, "ndim", 0) != 3):
+        return x
+    msize = dict(mesh.shape)[MODEL_AXIS]
+    if msize <= 1 or x.shape[1] % msize != 0:
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, P(DATA_AXIS, MODEL_AXIS, None))
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:

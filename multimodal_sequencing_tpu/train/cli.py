@@ -150,6 +150,15 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--model_parallel_size", type=int, default=1,
         help="mesh model-axis size; >1 shards qkv/MLP kernels "
              "(Megatron-style TP, parallel/sharding_rules)")
+    add("--num_cpu_devices", type=int, default=0,
+        help="force an N-device virtual CPU platform before backend init "
+             "(validate dp/tp/sp/fsdp sharding without TPU hardware; the "
+             "technique behind tests/conftest.py and dryrun_multichip)")
+    add("--sequence_parallel", action="store_true",
+        help="with --model_parallel_size > 1: shard layer-boundary "
+             "activations over the model axis along the sequence "
+             "(Megatron SP; reduce-scatter/all-gather instead of "
+             "all-reduce around the TP matmul pairs)")
     add("--fsdp", action="store_true",
         help="ZeRO-style fully-sharded data parallel: shard params + "
              "optimizer moments over the mesh data axis (XLA inserts "
@@ -197,6 +206,8 @@ def build_config(args):
         enc.gelu_approximate = True
     enc.attention_dropout_mode = getattr(args, "attention_dropout_mode",
                                          "probs")
+    if getattr(args, "sequence_parallel", False):
+        enc.sequence_parallel = True
     cfg = MultimodalConfig(
         encoder=enc,
         max_story_length=args.max_story_length,
@@ -421,7 +432,18 @@ def build_model(cfg, args):
 
 
 def _apply_runtime_flags(args):
+    import os as _os_early
     import jax
+    if getattr(args, "num_cpu_devices", 0):
+        # must precede any backend touch; a bare JAX_PLATFORMS env var is
+        # not enough once a TPU plugin has registered (same recipe as
+        # tests/conftest.py / __graft_entry__._respawn_on_virtual_cpu_mesh)
+        flags = _os_early.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            _os_early.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count="
+                f"{args.num_cpu_devices}").strip()
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_default_prng_impl", args.prng_impl)
     except Exception:

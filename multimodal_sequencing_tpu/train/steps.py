@@ -180,11 +180,20 @@ def make_train_step(cfg, mesh=None, donate: bool = True,
     else:
         # tensor-parallel param/moment shardings (parallel/sharding_rules)
         state_in = state_out = state_shardings
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(state_in, data, repl),
         out_shardings=(state_out, repl),
         donate_argnums=(0,) if donate else ())
+    if getattr(cfg.encoder, "sequence_parallel", False):
+        # sequence-parallel activation constraints (parallel/mesh.seq_shard)
+        # resolve their PartitionSpecs from the ambient mesh at trace time
+        def run(state, batch, rng):
+            with mesh:
+                return jitted(state, batch, rng)
+        run.lower = jitted.lower  # cost-analysis hook (bench.py)
+        return run
+    return jitted
 
 
 def make_berson_train_step(mesh) -> Callable:
@@ -234,7 +243,14 @@ def make_eval_step(cfg, mesh=None) -> Callable:
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P(DATA_AXIS))
         jit_kwargs.update(in_shardings=(repl, data), out_shardings=data)
-    return jax.jit(step, **jit_kwargs)
+    jitted = jax.jit(step, **jit_kwargs)
+    if mesh is not None and getattr(cfg.encoder, "sequence_parallel",
+                                    False):
+        def run(variables, apply_fn, batch):
+            with mesh:
+                return jitted(variables, apply_fn, batch)
+        return run
+    return jitted
 
 
 def eval_variables(state) -> dict:

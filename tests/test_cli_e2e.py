@@ -412,3 +412,18 @@ def test_multihost_hook_attempts_distributed_init(monkeypatch):
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
     _apply_runtime_flags(args)
     assert calls  # coordinator advertised: init attempted
+
+
+def test_train_with_sp_fsdp_and_cpu_devices_flag(wikihow_dir, tmp_path):
+    """--sequence_parallel + --fsdp + --num_cpu_devices through the real
+    CLI (the virtual platform already exists under pytest, so the device
+    flag exercises its idempotent path)."""
+    out = str(tmp_path / "spfsdp")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1", "--max_steps", "2",
+        "--save_steps", "0", "--model_parallel_size", "2",
+        "--sequence_parallel", "--fsdp", "--num_cpu_devices", "8",
+        "--per_gpu_train_batch_size", "2", "--overwrite_output_dir",
+    ]))
+    assert state is not None

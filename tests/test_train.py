@@ -206,3 +206,42 @@ def test_fsdp_with_tp_mesh(wikihow_dir, tokenizer):
     assert np.isfinite(float(m["loss"]))
     _, m2 = step(st2, db, jax.random.PRNGKey(1))
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_sequence_parallel_matches_replicated(wikihow_dir, tokenizer):
+    """TP + sequence-parallel activations (data=4, model=2) computes the
+    same loss as replicated DP — SP re-lays-out the LN/residual regions,
+    math unchanged."""
+    from multimodal_sequencing_tpu.parallel.sharding_rules import (
+        tree_shardings, shard_state)
+    from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+    from multimodal_sequencing_tpu.train.state import (
+        make_train_state, make_optimizer)
+
+    cfg, _, batch, db_dp, state, step_dp = _setup(
+        wikihow_dir, tokenizer, "v1", lr=1e-3, total_steps=50, n_devices=8)
+    rng = jax.random.PRNGKey(1)
+    _, m_dp = step_dp(state, db_dp, rng)
+
+    cfg2 = _cfg("v1")
+    cfg2.encoder.sequence_parallel = True
+    mesh = make_mesh(n_data=4, n_model=2)
+    model = SequencingModel(cfg2)
+    state2 = make_train_state(
+        model, jax.random.PRNGKey(0), device_batch(batch),
+        tx=make_optimizer(learning_rate=1e-3, warmup_steps=2,
+                          total_steps=50))
+    st_sh = tree_shardings(state2, mesh)
+    state2 = shard_state(state2, mesh)
+    step_sp = make_train_step(cfg2, mesh, state_shardings=st_sh)
+    db = shard_batch(device_batch(batch), mesh)
+    st2, m_sp = step_sp(state2, db, rng)
+    np.testing.assert_allclose(float(m_dp["loss"]), float(m_sp["loss"]),
+                               rtol=1e-4)
+    _, m_sp2 = step_sp(st2, db, rng)
+    assert np.isfinite(float(m_sp2["loss"]))
+
+    # seq_shard is a safe no-op outside a mesh context
+    from multimodal_sequencing_tpu.parallel.mesh import seq_shard
+    x = jnp.ones((2, 8, 4))
+    np.testing.assert_array_equal(np.asarray(seq_shard(x)), np.asarray(x))
