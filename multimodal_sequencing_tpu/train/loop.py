@@ -337,6 +337,11 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
     step_cache: Dict[str, Callable] = {}
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    # --fsdp: ZeRO-style sharding of params + moments over the data axis
+    st_sh = repl
+    if getattr(args, "fsdp", False):
+        from ..parallel.sharding_rules import tree_shardings
+        st_sh = tree_shardings(state, mesh, fsdp=True)
 
     def get_step(objective):
         if objective not in step_cache:
@@ -367,12 +372,15 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
             # gradient psum is inserted by XLA from the shardings
             step_cache[objective] = jax.jit(
                 step,
-                in_shardings=(repl, data_sh, data_sh, repl),
-                out_shardings=(repl, repl),
+                in_shardings=(st_sh, data_sh, data_sh, repl),
+                out_shardings=(st_sh, repl),
                 donate_argnums=(0,))
         return step_cache[objective]
 
-    state = jax.device_put(state, repl)
+    if st_sh is repl:
+        state = jax.device_put(state, repl)
+    else:
+        state = jax.tree.map(jax.device_put, state, st_sh)
     writer = MetricWriter(os.path.join(args.output_dir, "logs"))
     rng = jax.random.PRNGKey(args.seed + 1)
     global_step = 0

@@ -332,3 +332,45 @@ def test_pretraining_dev_eval(tmp_path):
     assert np.isfinite(res["eval_loss"])
     # fresh model: perplexity near uniform over the vocab
     assert res["eval_perplexity"] > 10.0
+
+
+def test_pretraining_loop_fsdp(tmp_path):
+    """--fsdp shards the pretraining state over the data axis; losses
+    match the replicated DP run on the same global batch."""
+    import argparse
+    import json
+
+    from multimodal_sequencing_tpu.train.loop import run_pretraining
+    from multimodal_sequencing_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg(n=3, multimodal_pretrain_objectives=["image_swapping"])
+    vcfg = CLIPVisionConfig.tiny_vit()
+    items = []
+    for i in range(16):
+        b = _batch(cfg, b=1, seed=i)
+        items.append({k: v[0] for k, v in b.items()})
+    ds = _ListDataset(items)
+
+    def run(out, fsdp):
+        model = SequencingPretrainer(cfg, vcfg)
+        args = argparse.Namespace(
+            per_gpu_train_batch_size=1, learning_rate=1e-3,
+            weight_decay=0.0, adam_epsilon=1e-8, max_grad_norm=1.0,
+            num_train_epochs=1, max_steps=2, warmup_steps=0,
+            gradient_accumulation_steps=1, logging_steps=1, save_steps=0,
+            seed=0, output_dir=str(out), mlm_probability=0.15,
+            model_name_or_path="simple", fsdp=fsdp)
+        mesh = make_mesh(n_data=8)
+        run_pretraining(cfg, model, ds, args, tokenizer=None, mesh=mesh)
+        losses = []
+        with open(os.path.join(str(out), "logs", "scalars.jsonl")) as f:
+            for line in f:
+                row = json.loads(line)
+                if row["tag"] == "pretrain/loss":
+                    losses.append(row["value"])
+        return losses
+
+    l_dp = run(tmp_path / "dp", fsdp=False)
+    l_fs = run(tmp_path / "fs", fsdp=True)
+    assert len(l_dp) == len(l_fs) == 2
+    np.testing.assert_allclose(l_dp, l_fs, rtol=3e-3)
