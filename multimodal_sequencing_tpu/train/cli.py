@@ -629,9 +629,10 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     from ..data.datasets import data_loader
     from ..parallel.mesh import make_mesh, shard_batch
 
-    mesh = make_mesh()
-    n_dev = int(np.prod(mesh.devices.shape))
-    batch_size = args.per_gpu_train_batch_size * n_dev
+    n_model = max(1, getattr(args, "model_parallel_size", 1))
+    mesh = make_mesh(n_model=n_model)
+    n_data = int(np.prod(mesh.devices.shape)) // n_model
+    batch_size = args.per_gpu_train_batch_size * n_data
     steps_per_epoch = max(1, len(dataset) // batch_size)
     if args.max_steps > 0:
         total_steps = args.max_steps
@@ -658,8 +659,17 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     from .steps import make_berson_train_step
-    step_fn = make_berson_train_step(mesh)
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    seq_par = getattr(cfg.encoder, "sequence_parallel", False)
+    fsdp = bool(getattr(args, "fsdp", False))
+    if n_model > 1 or fsdp:
+        from ..parallel.sharding_rules import tree_shardings, shard_state
+        st_sh = tree_shardings(state, mesh, fsdp=fsdp)
+        state = shard_state(state, mesh, fsdp=fsdp)
+        step_fn = make_berson_train_step(mesh, state_shardings=st_sh,
+                                         sequence_parallel=seq_par)
+    else:
+        step_fn = make_berson_train_step(mesh, sequence_parallel=seq_par)
+        state = jax.device_put(state, NamedSharding(mesh, P()))
 
     # eval-during-training: beam-search decode over the first eval split
     # (berson_evaluate analogue, `models/berson/eval.py:39-187`)

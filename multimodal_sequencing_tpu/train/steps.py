@@ -196,11 +196,13 @@ def make_train_step(cfg, mesh=None, donate: bool = True,
     return jitted
 
 
-def make_berson_train_step(mesh) -> Callable:
+def make_berson_train_step(mesh, state_shardings=None,
+                           sequence_parallel: bool = False) -> Callable:
     """Jitted BERSON train step: the wrapper model computes its own loss
     (pointer NLL + 0.6x pairwise CE, `modeling_bert.py:1144-1174`), so the
-    step just differentiates `out["loss"]`. Batch data-sharded, params
-    replicated, state donated — same DP contract as make_train_step."""
+    step just differentiates `out["loss"]`. Batch data-sharded, state
+    donated; params replicated by default or TP/FSDP-sharded when
+    `state_shardings` is given — same contract as make_train_step."""
 
     def step(state, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -224,8 +226,16 @@ def make_berson_train_step(mesh) -> Callable:
 
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(step, in_shardings=(repl, data_sh, repl),
-                   out_shardings=(repl, repl), donate_argnums=(0,))
+    st_sh = state_shardings if state_shardings is not None else repl
+    jitted = jax.jit(step, in_shardings=(st_sh, data_sh, repl),
+                     out_shardings=(st_sh, repl), donate_argnums=(0,))
+    if sequence_parallel:
+        def run(state, batch, rng):
+            with mesh:
+                return jitted(state, batch, rng)
+        run.lower = jitted.lower
+        return run
+    return jitted
 
 
 def make_eval_step(cfg, mesh=None) -> Callable:
