@@ -245,3 +245,33 @@ def test_sequence_parallel_matches_replicated(wikihow_dir, tokenizer):
     from multimodal_sequencing_tpu.parallel.mesh import seq_shard
     x = jnp.ones((2, 8, 4))
     np.testing.assert_array_equal(np.asarray(seq_shard(x)), np.asarray(x))
+
+
+def test_checkpoint_roundtrip_from_fsdp_state(wikihow_dir, tokenizer,
+                                              tmp_path):
+    """Checkpoints written from an FSDP-sharded state restore bit-equal
+    into a fresh replicated state (save gathers via device_get, so the
+    directory contract is sharding-agnostic)."""
+    from multimodal_sequencing_tpu.parallel.sharding_rules import (
+        tree_shardings, shard_state)
+    from multimodal_sequencing_tpu.train.checkpoint import (
+        save_checkpoint, restore_checkpoint)
+
+    cfg, _, batch, db, state, _ = _setup(
+        wikihow_dir, tokenizer, "v1", lr=1e-3, total_steps=50, n_devices=1)
+    mesh = make_mesh(n_data=8)
+    st_sh = tree_shardings(state, mesh, fsdp=True)
+    sharded = shard_state(state, mesh, fsdp=True)
+    step = make_train_step(cfg, mesh, state_shardings=st_sh)
+    db8 = shard_batch(device_batch(batch), mesh)
+    sharded, _ = step(sharded, db8, jax.random.PRNGKey(1))
+
+    ckpt = save_checkpoint(str(tmp_path), 1, sharded)
+    _, _, _, _, fresh, _ = _setup(
+        wikihow_dir, tokenizer, "v1", lr=1e-3, total_steps=50, n_devices=1)
+    restored = restore_checkpoint(ckpt, fresh)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b))),
+        restored.params, sharded.params)
+    assert int(restored.step) == int(sharded.step)
