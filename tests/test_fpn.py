@@ -86,7 +86,8 @@ def test_visualbert_inline_roi_forward():
     model = VisualBERTEncoder(cfg)
     rng = np.random.RandomState(1)
     ids = jnp.asarray(rng.randint(5, 900, (2, 12)), jnp.int32)
-    imgs = jnp.asarray(rng.randint(0, 255, (2, 3, 3, 32, 32)), jnp.uint8)
+    # uint8 convention is HWC stacks: (B, N, H, W, 3)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 3, 32, 32, 3)), jnp.uint8)
     variables = model.init(jax.random.PRNGKey(0), ids, images=imgs)
     lang, visn, pooled = model.apply(variables, ids, images=imgs)
     # 3 steps x (1 pooled + 3 regional) = 12 visual tokens
