@@ -61,8 +61,11 @@ def seq_shard(x):
     reduce-scatter + all-gather pairs. No-op when traced outside a mesh
     context, when the mesh has no model axis to use, or when S does not
     divide evenly — so model code can call it unconditionally."""
-    from jax.interpreters import pxla
-    mesh = pxla.thread_resources.env.physical_mesh
+    try:  # jax.interpreters.pxla.thread_resources deprecated in 0.8.2
+        from jax._src.mesh import thread_resources
+    except ImportError:  # pragma: no cover - older jax
+        from jax.interpreters.pxla import thread_resources
+    mesh = thread_resources.env.physical_mesh
     if (mesh.empty or MODEL_AXIS not in mesh.axis_names
             or getattr(x, "ndim", 0) != 3):
         return x
