@@ -86,16 +86,24 @@ class VisualBERTEncoder(nn.Module):
                 # tower inline like the reference's wrapper forward
                 inline_roi = bool(cfg.num_img_regional_features
                                   and img_regional_features is None)
+                k = cfg.num_img_regional_features
+                if inline_roi and not cfg.include_full_img_features:
+                    k = k + 1  # top ROI doubles as the image feature
                 tower = FPNVisionTower(
-                    num_regional_features=(cfg.num_img_regional_features
-                                           if inline_roi else None),
+                    num_regional_features=(k if inline_roi else None),
                     pool_full_img=cfg.include_full_img_features,
                     dtype=ecfg.compute_dtype, name="vision_model")
                 if inline_roi:
                     feats, reg, _, _ = tower(nhwc,
                                              deterministic=deterministic)
+                    if not cfg.include_full_img_features:
+                        # ref :146-152: without the full-image feature the
+                        # top ROI becomes the per-step image feature and
+                        # the next K follow as regional tokens (the tower
+                        # produces K+1 proposals to keep K regional)
+                        feats, reg = reg[:, 0], reg[:, 1:]
                     img_regional_features = reg.reshape(
-                        b, n, cfg.num_img_regional_features, -1)
+                        b, n, -1, reg.shape[-1])
                     if cfg.freeze_vision_model:
                         img_regional_features = jax.lax.stop_gradient(
                             img_regional_features)

@@ -150,6 +150,9 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--model_parallel_size", type=int, default=1,
         help="mesh model-axis size; >1 shards qkv/MLP kernels "
              "(Megatron-style TP, parallel/sharding_rules)")
+    add("--profile_dir", type=str, default=None,
+        help="capture a 3-step jax.profiler trace (TensorBoard/Perfetto) "
+             "into this directory once training is warm")
     add("--num_cpu_devices", type=int, default=0,
         help="force an N-device virtual CPU platform before backend init "
              "(validate dp/tp/sp/fsdp sharding without TPU hardware; the "
@@ -227,6 +230,9 @@ def build_config(args):
         multimodal_img_part=args.multimodal_img_part,
         multimodal_fusion_method=args.multimodal_fusion_method,
         num_img_regional_features=args.include_num_img_regional_features,
+        # store_true flag, default False like the reference (train.py:1162);
+        # consumed by the detectron2-style tower paths only
+        include_full_img_features=bool(args.include_full_img_features),
         image_size=(args.vision_image_size, args.vision_image_size),
         hierarchical_version=args.hierarchical_version,
         hl_include_objectives=args.hl_include_objectives or [],

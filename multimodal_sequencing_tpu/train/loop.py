@@ -147,7 +147,17 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
                 batch["images"], batch["itm_targets"] = plan_itm_swap(
                     np.asarray(batch["images"]), host_rng)
             db = shard_batch(device_batch(batch), mesh)
+            # --profile_dir: capture a 3-step jax.profiler trace once the
+            # step is compiled and warm (utils/profiling; SURVEY §5.1 —
+            # the reference ships no tracing at all)
+            profile_dir = getattr(args, "profile_dir", None)
+            if profile_dir and global_step == start_step + 2:
+                jax.profiler.start_trace(profile_dir)
             state, metrics = step_fn(state, db, rng)
+            if profile_dir and global_step == start_step + 4:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", profile_dir)
             global_step += 1
             if global_step % args.logging_steps == 0:
                 loss = float(metrics["loss"])

@@ -148,3 +148,28 @@ def test_dataset_consumes_roi_sidecars(wikihow_dir, tokenizer):
     assert "img_regional_features" in item
     assert item["img_regional_features"].shape == (5, 2, 2048)
     assert np.isfinite(item["img_regional_features"]).all()
+
+
+def test_visualbert_inline_roi_no_full_img():
+    """include_full_img_features=False: the top ROI doubles as the
+    per-step image feature and K more follow as regional tokens
+    (reference multimodal_utils.py:146-152)."""
+    from multimodal_sequencing_tpu.models.config import (EncoderConfig,
+                                                         MultimodalConfig)
+    from multimodal_sequencing_tpu.models.visualbert import VisualBERTEncoder
+
+    cfg = MultimodalConfig(
+        encoder=EncoderConfig.tiny(), multimodal=True,
+        multimodal_model_type="visualbert",
+        vision_model="detectron2_tiny", num_img_regional_features=2,
+        include_full_img_features=False,
+        max_story_length=3, image_size=(32, 32))
+    model = VisualBERTEncoder(cfg)
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(5, 900, (2, 12)), jnp.int32)
+    imgs = jnp.asarray(rng.randint(0, 255, (2, 3, 32, 32, 3)), jnp.uint8)
+    variables = model.init(jax.random.PRNGKey(0), ids, images=imgs)
+    lang, visn, pooled = model.apply(variables, ids, images=imgs)
+    # 3 steps x (1 ROI-as-image + 2 regional) = 9 visual tokens
+    assert visn.shape == (2, 9, cfg.encoder.hidden_size)
+    assert np.isfinite(np.asarray(pooled)).all()
