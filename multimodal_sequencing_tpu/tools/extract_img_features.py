@@ -113,6 +113,8 @@ def write_regional_sidecar(img_path: str, features: np.ndarray,
 
 
 def main(argv=None):
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", required=True)
     parser.add_argument("--data_name", default="wikihow")

@@ -103,6 +103,8 @@ def extract_roi_sidecars(image_paths, num_regional_features: int = 10,
 
 
 def main(argv=None):
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", required=True)
     parser.add_argument("--data_name", default="wikihow")

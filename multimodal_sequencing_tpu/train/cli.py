@@ -439,6 +439,8 @@ def build_model(cfg, args):
 
 def _apply_runtime_flags(args):
     import os as _os_early
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()  # JAX_PLATFORMS env -> config (see utils/platform)
     import jax
     if getattr(args, "num_cpu_devices", 0):
         # must precede any backend touch; a bare JAX_PLATFORMS env var is
