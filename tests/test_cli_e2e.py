@@ -440,3 +440,17 @@ def test_berson_cli_train_tp_sp_fsdp(wikihow_dir, tmp_path):
         "--save_steps", "0", "--overwrite_output_dir",
     ]))
     assert state is not None
+
+
+def test_profile_dir_writes_trace(wikihow_dir, tmp_path):
+    """--profile_dir captures a jax.profiler trace once training is warm."""
+    out = str(tmp_path / "prof")
+    trace_dir = str(tmp_path / "trace")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1", "--max_steps", "6",
+        "--save_steps", "0", "--profile_dir", trace_dir,
+        "--overwrite_output_dir",
+    ]))
+    assert state is not None
+    assert os.path.isdir(trace_dir) and os.listdir(trace_dir)
