@@ -272,8 +272,8 @@ class PointerHead(nn.Module):
             x = jnp.broadcast_to(pos_emb[None], (b, n, h)).astype(
                 step_reprs.dtype)
             causal = jnp.tril(jnp.ones((n, n), bool))
-            x = nn.SelfAttention(num_heads=4, dtype=step_reprs.dtype,
-                                 name="self_attn")(
+            x = nn.MultiHeadDotProductAttention(
+                num_heads=4, dtype=step_reprs.dtype, name="self_attn")(
                 x, mask=jnp.broadcast_to(causal, (b, 1, n, n)))
             x = nn.LayerNorm(name="ln1")(x)
             # cross attention over step reprs

@@ -64,7 +64,9 @@ class EncoderIndexDecoder(nn.Module):
         self.pos_emb = self.param(
             "pos_emb", nn.initializers.normal(0.02), (n + 1, h))
         heads = ecfg.num_attention_heads
-        self.self_attn = nn.SelfAttention(
+        # single-arg MultiHeadDotProductAttention == self-attention (the
+        # flax SelfAttention alias is deprecated; params are identical)
+        self.self_attn = nn.MultiHeadDotProductAttention(
             num_heads=heads, dtype=ecfg.compute_dtype, name="self_attn")
         self.ln1 = nn.LayerNorm(name="ln1")
         self.cross_attn = nn.MultiHeadDotProductAttention(

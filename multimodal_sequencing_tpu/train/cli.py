@@ -798,6 +798,7 @@ def main_pretrain(argv=None):
 def main_eval(argv=None):
     args = build_parser("eval").parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    _apply_runtime_flags(args)
     args.output_dir = resolve_output_dir(args)
     cfg, tokenizer = build_config(args)
     data_name, task_type = _parse_task(args)
