@@ -75,21 +75,24 @@ def roi_align(feat, boxes, output_size: int = 7):
     s = output_size
 
     def one(box):
+        # coordinates and interpolation weights stay f32 even for a bf16
+        # feature map — bf16 resolution near a 56-px p2 axis is 0.25 cells,
+        # which would skew sample centers; only the gathered values carry
+        # the compute dtype
         y0, x0, y1, x1 = box
-        # sample centers of an s x s grid inside the box
-        ys = y0 + (jnp.arange(s, dtype=feat.dtype) + 0.5) / s * (y1 - y0)
-        xs = x0 + (jnp.arange(s, dtype=feat.dtype) + 0.5) / s * (x1 - x0)
+        ys = y0 + (jnp.arange(s, dtype=jnp.float32) + 0.5) / s * (y1 - y0)
+        xs = x0 + (jnp.arange(s, dtype=jnp.float32) + 0.5) / s * (x1 - x0)
         ys = jnp.clip(ys * h - 0.5, 0.0, h - 1.0)
         xs = jnp.clip(xs * w - 0.5, 0.0, w - 1.0)
         y_lo = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
         x_lo = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
-        wy = (ys - y_lo.astype(feat.dtype))[:, None, None]
-        wx = (xs - x_lo.astype(feat.dtype))[None, :, None]
+        wy = (ys - y_lo.astype(jnp.float32))[:, None, None].astype(feat.dtype)
+        wx = (xs - x_lo.astype(jnp.float32))[None, :, None].astype(feat.dtype)
         g = lambda dy, dx: feat[y_lo + dy][:, x_lo + dx]  # (s, s, C)
         return ((1 - wy) * (1 - wx) * g(0, 0) + (1 - wy) * wx * g(0, 1)
                 + wy * (1 - wx) * g(1, 0) + wy * wx * g(1, 1))
 
-    return jax.vmap(one)(boxes.astype(feat.dtype))
+    return jax.vmap(one)(boxes.astype(jnp.float32))
 
 
 class FPNVisionTower(nn.Module):
@@ -172,11 +175,23 @@ class FPNVisionTower(nn.Module):
         return p6.reshape(p6.shape[0], -1)
 
 
+def backbone_from_name(vision_model: str) -> str:
+    """Pick the FPN bottom-up ResNet from the detectron2-style config
+    name (the reference selects by config name too,
+    multimodal_utils.py:35-38): 'detectron2_...R_101...' -> resnet101."""
+    for tag, name in (("101", "resnet101"), ("50", "resnet50"),
+                      ("34", "resnet34"), ("18", "resnet18")):
+        if tag in vision_model:
+            return name
+    return "resnet50"
+
+
 def build_pooled_vision_tower(vision_model: str, dtype):
     """Dispatch `--vision_model` to a pooled-feature tower module.
 
     resnet18/50/101 -> global-average ResNet (ref multimodal_utils.py:208-
     218); detectron2_* -> FPN p6 flattened (ref :158-167)."""
     if vision_model.startswith("detectron2"):
-        return FPNVisionTower(name="vision_model", dtype=dtype)
+        return FPNVisionTower(backbone_name=backbone_from_name(vision_model),
+                              name="vision_model", dtype=dtype)
     return ResNetBackbone(vision_model, dtype=dtype, name="vision_model")

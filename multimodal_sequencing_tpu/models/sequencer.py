@@ -72,21 +72,32 @@ class SequencingModel(nn.Module):
                 cfg.encoder.compute_dtype, name="aux_mlm_head")
 
     def encode(self, input_ids, attention_mask=None, token_type_ids=None,
-               images=None, deterministic: bool = True):
-        """Returns (lang_seq, visn_seq_or_None, pooled)."""
+               images=None, img_regional_features=None,
+               deterministic: bool = True):
+        """Returns (lang_seq, visn_seq_or_None, pooled).
+
+        `img_regional_features` (precomputed ROI sidecars, (B, N, R, C))
+        feed the VisualBERT encoder's regional-token path; the clip/LXRT
+        encoder ignores them (in the reference too, only the mmf
+        VisualBERT path consumes the maskrcnn sidecars,
+        `visual_bert_mmf.py:920-934`)."""
         if self.cfg.multimodal:
+            kwargs = dict(images=images, deterministic=deterministic)
+            if self.cfg.multimodal_model_type == "visualbert":
+                kwargs["img_regional_features"] = img_regional_features
             return self.encoder(input_ids, attention_mask, token_type_ids,
-                                images=images, deterministic=deterministic)
+                                **kwargs)
         seq, pooled = self.encoder(input_ids, attention_mask, token_type_ids,
                                    deterministic=deterministic)
         return seq, None, pooled
 
     def __call__(self, input_ids, attention_mask=None, token_type_ids=None,
                  images=None, order_labels: Optional[jax.Array] = None,
-                 deterministic: bool = True):
+                 img_regional_features=None, deterministic: bool = True):
         cfg = self.cfg
         seq, visn, pooled = self.encode(
-            input_ids, attention_mask, token_type_ids, images, deterministic)
+            input_ids, attention_mask, token_type_ids, images,
+            img_regional_features, deterministic)
         out = {"sequence_output": seq, "visual_output": visn,
                "pooled_output": pooled}
         v = cfg.hierarchical_version

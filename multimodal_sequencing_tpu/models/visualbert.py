@@ -89,7 +89,9 @@ class VisualBERTEncoder(nn.Module):
                 k = cfg.num_img_regional_features
                 if inline_roi and not cfg.include_full_img_features:
                     k = k + 1  # top ROI doubles as the image feature
+                from .fpn import backbone_from_name
                 tower = FPNVisionTower(
+                    backbone_name=backbone_from_name(cfg.vision_model),
                     num_regional_features=(k if inline_roi else None),
                     pool_full_img=cfg.include_full_img_features,
                     dtype=ecfg.compute_dtype, name="vision_model")

@@ -446,11 +446,16 @@ def _apply_runtime_flags(args):
         # must precede any backend touch; a bare JAX_PLATFORMS env var is
         # not enough once a TPU plugin has registered (same recipe as
         # tests/conftest.py / __graft_entry__._respawn_on_virtual_cpu_mesh)
+        import re as _re
         flags = _os_early.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            _os_early.environ["XLA_FLAGS"] = (
-                f"{flags} --xla_force_host_platform_device_count="
-                f"{args.num_cpu_devices}").strip()
+        want = (f"--xla_force_host_platform_device_count="
+                f"{args.num_cpu_devices}")
+        if "xla_force_host_platform_device_count" in flags:
+            # replace an inherited count rather than silently keeping it
+            _os_early.environ["XLA_FLAGS"] = _re.sub(
+                r"--xla_force_host_platform_device_count=\d+", want, flags)
+        else:
+            _os_early.environ["XLA_FLAGS"] = f"{flags} {want}".strip()
         jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_default_prng_impl", args.prng_impl)
@@ -692,6 +697,8 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     tc_enabled = "time_contrastive" in (
         args.additional_wrapper_level_objectives or [])
     host_rng = np.random.default_rng(args.seed + 11)
+    from ..utils.profiling import StepTraceWindow
+    tracer = StepTraceWindow(getattr(args, "profile_dir", None))
     for epoch in range(epochs):
         for batch in data_loader(dataset, batch_size, shuffle=True,
                                  seed=args.seed, epoch=epoch,
@@ -708,7 +715,11 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
             db = shard_batch({k: v for k, v in batch.items()
                               if isinstance(v, np.ndarray)
                               and v.dtype != object}, mesh)
+            tracer.before_step(global_step)
             state, out = step_fn(state, db, rng)
+            if tracer.after_step(global_step, sync=out["loss"]):
+                logger.info("profiler trace written to %s",
+                            args.profile_dir)
             global_step += 1
             if global_step % args.logging_steps == 0:
                 writer.scalar("train/loss", float(out["loss"]), global_step)
@@ -735,6 +746,7 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
                 break
         if global_step >= total_steps:
             break
+    tracer.close()
     save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
                     tokenizer=tokenizer, training_args=vars(args))
     writer.close()

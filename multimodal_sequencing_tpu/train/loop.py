@@ -127,6 +127,11 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     t0 = time.time()
     aux_objs = set(cfg.hl_include_objectives or [])
     host_rng = np.random.default_rng(args.seed + 7)
+    # --profile_dir: a 3-step jax.profiler trace once the step is compiled
+    # and warm (utils/profiling; SURVEY §5.1 — the reference ships no
+    # tracing at all)
+    from ..utils.profiling import StepTraceWindow
+    tracer = StepTraceWindow(getattr(args, "profile_dir", None))
     for epoch in range(epochs):
         for batch in prefetch(data_loader(
                 train_dataset, batch_size, shuffle=True,
@@ -147,17 +152,11 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
                 batch["images"], batch["itm_targets"] = plan_itm_swap(
                     np.asarray(batch["images"]), host_rng)
             db = shard_batch(device_batch(batch), mesh)
-            # --profile_dir: capture a 3-step jax.profiler trace once the
-            # step is compiled and warm (utils/profiling; SURVEY §5.1 —
-            # the reference ships no tracing at all)
-            profile_dir = getattr(args, "profile_dir", None)
-            if profile_dir and global_step == start_step + 2:
-                jax.profiler.start_trace(profile_dir)
+            tracer.before_step(global_step - start_step)
             state, metrics = step_fn(state, db, rng)
-            if profile_dir and global_step == start_step + 4:
-                jax.block_until_ready(metrics["loss"])
-                jax.profiler.stop_trace()
-                logger.info("profiler trace written to %s", profile_dir)
+            if tracer.after_step(global_step - start_step,
+                                 sync=metrics["loss"]):
+                logger.info("profiler trace written to %s", args.profile_dir)
             global_step += 1
             if global_step % args.logging_steps == 0:
                 loss = float(metrics["loss"])
@@ -187,6 +186,7 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
                 break
         if global_step >= total_steps:
             break
+    tracer.close()  # run ended inside the profiling window
     save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
                     tokenizer=tokenizer, training_args=vars(args))
     writer.close()
@@ -393,6 +393,8 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
         state = jax.tree.map(jax.device_put, state, st_sh)
     writer = MetricWriter(os.path.join(args.output_dir, "logs"))
     rng = jax.random.PRNGKey(args.seed + 1)
+    from ..utils.profiling import StepTraceWindow
+    tracer = StepTraceWindow(getattr(args, "profile_dir", None))
     global_step = 0
     for epoch in range(max(1, epochs)):
         for batch in prefetch(data_loader(
@@ -400,8 +402,12 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
                 seed=args.seed, epoch=epoch, drop_last=False)):
             objective = choose_objective(objectives, host_rng)
             nb, aux = prepare(batch, objective)
+            tracer.before_step(global_step)
             state, losses = get_step(objective)(
                 state, shard_batch(nb, mesh), shard_batch(aux, mesh), rng)
+            if tracer.after_step(global_step, sync=losses["loss"]):
+                logger.info("profiler trace written to %s",
+                            args.profile_dir)
             global_step += 1
             if global_step % args.logging_steps == 0:
                 for k, v in losses.items():
@@ -425,6 +431,7 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
                 break
         if global_step >= total_steps:
             break
+    tracer.close()
     save_checkpoint(args.output_dir, global_step, state, cfg=cfg,
                     tokenizer=tokenizer, training_args=vars(args))
     writer.close()

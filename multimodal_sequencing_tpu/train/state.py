@@ -92,7 +92,8 @@ def make_train_state(model, rng, sample_batch: dict,
     tx = tx or make_optimizer(**opt_kwargs)
     init_kwargs = {
         k: jnp.asarray(sample_batch[k]) for k in
-        ("input_ids", "attention_mask", "token_type_ids", "images")
+        ("input_ids", "attention_mask", "token_type_ids", "images",
+         "img_regional_features")
         if k in sample_batch}
     if "order_labels" in sample_batch:
         init_kwargs["order_labels"] = jnp.asarray(

@@ -149,6 +149,9 @@ def make_train_step(cfg, mesh=None, donate: bool = True,
                 rngs={"dropout": dropout_rng})
             if "images" in batch:
                 kwargs["images"] = batch["images"]
+            if "img_regional_features" in batch:
+                kwargs["img_regional_features"] = (
+                    batch["img_regional_features"])
             if mutable:
                 outputs, new_mstate = state.apply_fn(
                     variables, batch["input_ids"],
@@ -191,7 +194,11 @@ def make_train_step(cfg, mesh=None, donate: bool = True,
         def run(state, batch, rng):
             with mesh:
                 return jitted(state, batch, rng)
-        run.lower = jitted.lower  # cost-analysis hook (bench.py)
+
+        def lower(*a, **k):  # cost-analysis hook (bench.py) — same mesh
+            with mesh:       # context, else the SP constraints no-op and
+                return jitted.lower(*a, **k)  # the analyzed program differs
+        run.lower = lower
         return run
     return jitted
 
@@ -233,7 +240,11 @@ def make_berson_train_step(mesh, state_shardings=None,
         def run(state, batch, rng):
             with mesh:
                 return jitted(state, batch, rng)
-        run.lower = jitted.lower
+
+        def lower(*a, **k):
+            with mesh:
+                return jitted.lower(*a, **k)
+        run.lower = lower
         return run
     return jitted
 
@@ -243,6 +254,8 @@ def make_eval_step(cfg, mesh=None) -> Callable:
         kwargs = {}
         if "images" in batch:
             kwargs["images"] = batch["images"]
+        if "img_regional_features" in batch:
+            kwargs["img_regional_features"] = batch["img_regional_features"]
         return apply_fn(
             variables,
             batch["input_ids"], batch.get("attention_mask"),

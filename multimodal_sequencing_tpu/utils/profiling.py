@@ -58,3 +58,36 @@ class StepTimer:
     @property
     def p50_ms(self) -> float:
         return float(np.median(self.times) * 1000)
+
+
+class StepTraceWindow:
+    """--profile_dir support for training loops: capture a jax.profiler
+    trace over steps [start, start+n) relative to the loop's first step,
+    closing the trace safely when the loop ends inside the window."""
+
+    def __init__(self, log_dir: Optional[str], start: int = 2, n: int = 3):
+        self.log_dir = log_dir
+        self.start, self.end = start, start + n - 1
+        self.active = False
+
+    def before_step(self, rel_step: int):
+        if self.log_dir and rel_step == self.start and not self.active:
+            jax.profiler.start_trace(self.log_dir)
+            self.active = True
+
+    def after_step(self, rel_step: int, sync=None) -> bool:
+        """Returns True when the trace was just closed."""
+        if self.active and rel_step >= self.end:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            jax.profiler.stop_trace()
+            self.active = False
+            return True
+        return False
+
+    def close(self, sync=None):
+        if self.active:
+            if sync is not None:
+                jax.block_until_ready(sync)
+            jax.profiler.stop_trace()
+            self.active = False

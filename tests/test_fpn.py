@@ -173,3 +173,64 @@ def test_visualbert_inline_roi_no_full_img():
     # 3 steps x (1 ROI-as-image + 2 regional) = 9 visual tokens
     assert visn.shape == (2, 9, cfg.encoder.hidden_size)
     assert np.isfinite(np.asarray(pooled)).all()
+
+
+def test_sidecar_features_reach_the_model(wikihow_dir, tokenizer):
+    """Precomputed ROI sidecars flow dataset -> batch -> train/eval step ->
+    VisualBERT regional tokens (they must NOT be silently dropped or
+    recomputed inline)."""
+    from multimodal_sequencing_tpu.tools.extract_img_features import (
+        collect_story_image_paths)
+    from multimodal_sequencing_tpu.tools.extract_roi_features import (
+        extract_roi_sidecars)
+    from multimodal_sequencing_tpu.data.datasets import (PureClassDataset,
+                                                         data_loader)
+    from multimodal_sequencing_tpu.data.registry import get_processor
+    from multimodal_sequencing_tpu.models.config import (EncoderConfig,
+                                                         MultimodalConfig)
+    from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+    from multimodal_sequencing_tpu.parallel.mesh import make_mesh, shard_batch
+    from multimodal_sequencing_tpu.train.state import (make_train_state,
+                                                       make_optimizer)
+    from multimodal_sequencing_tpu.train.steps import (
+        make_train_step, make_eval_step, device_batch, eval_variables)
+
+    paths = collect_story_image_paths(wikihow_dir, "wikihow", "dev")
+    extract_roi_sidecars(paths, num_regional_features=2,
+                         backbone="resnet18", image_size=(64, 64),
+                         batch_size=4, seed=0)
+    proc = get_processor("wikihow_sort", data_dir=wikihow_dir,
+                         paired_with_image=True)
+    ds = PureClassDataset(proc.get_dev_examples(), tokenizer, decode=True,
+                          max_story_length=5, max_length=96,
+                          per_seq_max_length=12, multimodal=True,
+                          image_size=(32, 32), num_img_regional_features=2,
+                          uint8_images=True, seed=0)
+    batch = next(data_loader(ds, batch_size=2))
+    assert "img_regional_features" in batch
+
+    # non-detectron2 vision model: regional tokens can ONLY come from the
+    # precomputed sidecar features (no inline ROI tower exists)
+    cfg = MultimodalConfig(
+        encoder=EncoderConfig.tiny(), multimodal=True,
+        multimodal_model_type="visualbert", vision_model="resnet18",
+        num_img_regional_features=2, hierarchical_version="v1",
+        max_story_length=5, max_seq_length=96, per_seq_max_length=12,
+        image_size=(32, 32))
+    model = SequencingModel(cfg)
+    db = device_batch(batch)
+    state = make_train_state(
+        model, jax.random.PRNGKey(0), db,
+        tx=make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                          total_steps=10))
+    mesh = make_mesh(n_data=1)
+    out = make_eval_step(cfg, mesh)(
+        eval_variables(state), state.apply_fn, shard_batch(db, mesh))
+    # 5 steps x (1 pooled + 2 regional sidecar tokens) = 15 visual tokens
+    assert out["visual_output"].shape[1] == 15
+    # and the projection of the sidecar features was actually created
+    assert "regional_proj" in state.params["encoder"]
+
+    st2, metrics = make_train_step(cfg, mesh)(
+        state, shard_batch(db, mesh), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
