@@ -102,7 +102,10 @@ def _tiny():
     return os.environ.get("BENCH_TINY") == "1"
 
 
-def bench_text(n_dev):
+def bench_text(n_dev, fast=False):
+    """Text flagship train step. fast=False is the HF-faithful CLI-default
+    semantics (erf GELU + probs attention dropout) — the primary metric;
+    fast=True is the tanh/folded variant, reported as a secondary field."""
     import jax
     from __graft_entry__ import _flagship_cfg, _synth_batch
     from multimodal_sequencing_tpu.models.sequencer import SequencingModel
@@ -111,7 +114,7 @@ def bench_text(n_dev):
         make_train_state, make_optimizer)
     from multimodal_sequencing_tpu.train.steps import make_train_step
 
-    cfg = _flagship_cfg(tiny=_tiny())
+    cfg = _flagship_cfg(tiny=_tiny(), fast=fast)
     bpc = int(os.environ.get("BENCH_BATCH_PER_CHIP", "8"))
     batch = _synth_batch(cfg, batch_size=bpc * n_dev)
     mesh = make_mesh()
@@ -126,7 +129,8 @@ def bench_text(n_dev):
     flops = _cost_flops(step, state, dbatch, rng)
     dt, state = _time_train(step, state, dbatch, rng, iters=30, warmup=8)
     per_chip = bpc / dt
-    _log(f"text: {per_chip:.1f} stories/s/chip ({dt*1e3:.1f}ms/step)")
+    name = "text-fast" if fast else "text"
+    _log(f"{name}: {per_chip:.1f} stories/s/chip ({dt*1e3:.1f}ms/step)")
     return {"stories_per_sec_per_chip": round(per_chip, 2),
             "mfu": _mfu(flops, dt, n_dev)}
 
@@ -262,7 +266,8 @@ def main():
 
     results = {}
     if mode in ("all", "text"):
-        results["text"] = bench_text(n_dev)
+        results["text"] = bench_text(n_dev)           # HF-faithful: primary
+        results["text_fast"] = bench_text(n_dev, fast=True)
     if mode in ("all", "multimodal"):
         results["multimodal"] = bench_multimodal(n_dev)
     if mode in ("all", "berson"):
@@ -285,12 +290,20 @@ def main():
         "metric": primary_name,
         "value": primary,
         "unit": "stories/s/chip",
+        # primary metric uses the CLI-default training semantics
+        # (erf GELU + probs attention dropout); *_fast fields are the
+        # tanh-GELU/folded-dropout variant
+        "semantics": "hf_faithful_cli_default",
         # vs an ESTIMATED A100 anchor — the reference publishes no numbers
         "vs_baseline": round(primary / A100_BASELINE_STORIES_PER_SEC, 2),
         "baseline_is_estimate": True,
     }
     if primary_mfu is not None:
         line["mfu"] = primary_mfu
+    if "text_fast" in results:
+        line["fast_train_stories_per_sec_per_chip"] = (
+            results["text_fast"]["stories_per_sec_per_chip"])
+        line["fast_mfu"] = results["text_fast"]["mfu"]
     if "multimodal" in results and mode == "all":
         line["multimodal_train_stories_per_sec_per_chip"] = (
             results["multimodal"]["stories_per_sec_per_chip"])
