@@ -34,6 +34,7 @@ from .multimodal_encoder import MultimodalEncoder
 BINARY_OBJECTIVES = (
     "image_swapping", "image_sequence_predictions",
     "whole_image_sequence_swapping", "patch_based_image_swapping",
+    "patch_based_image_sequence_predictions",
     "multimodal_swapping", "swapping_based_nsp", "sequence_based_nsp",
 )
 
@@ -87,9 +88,13 @@ class SequencingPretrainer(nn.Module):
             "params", "encoder")["embeddings"]["word_embeddings"][
                 "embedding"]
 
-    def _encode(self, batch, deterministic, patch_perm=None, mask_idx=None):
+    def _encode(self, batch, deterministic, patch_perm=None, mask_idx=None,
+                patch_src=None):
         """Encode with optional folded-stream patch surgery. Returns
-        (lang_out, visn_out, pooled, mrm_gt)."""
+        (lang_out, visn_out, pooled, mrm_gt). `patch_perm` permutes the
+        folded visual stream within a sample; with `patch_src` (a (B, S)
+        sample-index map) the gather is cross-sample:
+        out[b, t] = visn[patch_src[b, t], patch_perm[b, t]]."""
         cfg = self.cfg
         ids = batch["input_ids"]
         attn = batch.get("attention_mask")
@@ -107,8 +112,13 @@ class SequencingPretrainer(nn.Module):
         if images is not None and not cfg.multimodal_text_part:
             visn = self.encoder.encode_visual(images, deterministic)
             if patch_perm is not None:
-                visn = jnp.take_along_axis(
-                    visn, patch_perm[:, :, None].astype(jnp.int32), axis=1)
+                if patch_src is not None:
+                    visn = visn[patch_src.astype(jnp.int32),
+                                patch_perm.astype(jnp.int32)]
+                else:
+                    visn = jnp.take_along_axis(
+                        visn, patch_perm[:, :, None].astype(jnp.int32),
+                        axis=1)
             if mask_idx is not None:
                 b = visn.shape[0]
                 bidx = jnp.arange(b)[:, None]
@@ -128,7 +138,8 @@ class SequencingPretrainer(nn.Module):
         lang_out, visn_out, pooled, mrm_gt = self._encode(
             batch, deterministic,
             patch_perm=aux.get("patch_perm"),
-            mask_idx=aux.get("mask_idx"))
+            mask_idx=aux.get("mask_idx"),
+            patch_src=aux.get("patch_src"))
 
         total = 0.0
         # --- objective losses ------------------------------------------------

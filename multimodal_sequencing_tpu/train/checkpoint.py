@@ -94,7 +94,10 @@ def find_checkpoints(output_dir: str, iters_to_eval=None):
     """Checkpoint dirs under output_dir, optionally filtered by
     `--iters_to_eval` entries (numbers or 'best'), mirroring
     `train.py:2168-2186`."""
-    dirs = sorted(glob.glob(os.path.join(output_dir, "checkpoint-*")))
+    # numeric step order (lexicographic would put checkpoint-10000 before
+    # checkpoint-2000); non-numeric tags like checkpoint-best sort first
+    dirs = sorted(glob.glob(os.path.join(output_dir, "checkpoint-*")),
+                  key=parse_step_from_name)
     if not iters_to_eval:
         return dirs
     keep = []

@@ -228,6 +228,9 @@ def build_config(args):
         freeze_vision_model=args.freeze_vision_model,
         multimodal_text_part=args.multimodal_text_part,
         multimodal_img_part=args.multimodal_img_part,
+        # Accepted for flag parity but inert, exactly like the reference:
+        # train.py:1596,1713,1755 only copies it onto HF configs, and the
+        # sole reader (pointer_module.py:141) hardcodes fusion "mul".
         multimodal_fusion_method=args.multimodal_fusion_method,
         num_img_regional_features=args.include_num_img_regional_features,
         # store_true flag, default False like the reference (train.py:1162);
@@ -244,6 +247,12 @@ def build_config(args):
             args.multimodal_pretrain_objectives or []),
         mlm_probability=args.mlm_probability,
     )
+    if args.multimodal_fusion_method != "sum":
+        logger.warning(
+            "--multimodal_fusion_method %s has NO effect (parity with the "
+            "reference, which copies the flag onto configs but hardcodes "
+            "'mul' at its only read site, pointer_module.py:141)",
+            args.multimodal_fusion_method)
     return cfg, tokenizer
 
 

@@ -84,35 +84,43 @@ class SortEvaluator:
 
     # ----- batched model drivers --------------------------------------------
 
-    def _logits_fn(self, model, variables, images_per_seq: int):
-        key = f"v0:{id(model)}:{images_per_seq}"
+    def _logits_fn(self, model, variables, images_per_seq: int,
+                   with_regional: bool = False):
+        key = f"v0:{id(model)}:{images_per_seq}:{with_regional}"
         if key not in self._jit_cache:
             def fn(variables, chunk):
                 out = model.apply(
                     variables, chunk["input_ids"], chunk["attention_mask"],
                     chunk["token_type_ids"],
-                    images=chunk.get("images"), deterministic=True)
+                    images=chunk.get("images"),
+                    img_regional_features=chunk.get("img_regional_features"),
+                    deterministic=True)
                 return out["logits"]
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
     def pair_logit_matrix(self, model, variables, stories: List[List[str]],
-                          images: Optional[np.ndarray] = None) -> np.ndarray:
+                          images: Optional[np.ndarray] = None,
+                          regional: Optional[np.ndarray] = None) -> np.ndarray:
         """(B, N, N) raw 'ordered' class logits for every ordered pair; the
         diagonal is 0. Also returns the full 2-class logits via the last
-        axis when needed."""
+        axis when needed. `regional` is the (B, N, R, C) ROI sidecar batch
+        for `--include_num_img_regional_features` checkpoints; pairs gather
+        the matching two steps like `images` does."""
         n = self.cfg.max_story_length
         # a pair needs at most 2*per_seq_max_length tokens; padding to the
         # full story length (like the reference does) is dead compute
         pair_len = min(self.cfg.max_seq_length,
                        -(-2 * self.cfg.per_seq_max_length // 64) * 64)
-        packs, img_feed = [], []
+        packs, img_feed, reg_feed = [], [], []
         for b, texts in enumerate(stories):
             ii, am, tt, idx = self.packer.pack_all_pairs(
                 texts, pair_len)
             packs.append((ii, am, tt))
             if images is not None:
                 img_feed.append(images[b][idx])  # (P, 2, C, H, W)
+            if regional is not None:
+                reg_feed.append(regional[b][idx])  # (P, 2, R, C)
         P = packs[0][0].shape[0]
         feed = {
             "input_ids": np.concatenate([p[0] for p in packs]),
@@ -121,7 +129,11 @@ class SortEvaluator:
         }
         if images is not None:
             feed["images"] = np.concatenate(img_feed)
-        fn = self._logits_fn(model, variables, 2 if images is not None else 0)
+        if regional is not None:
+            feed["img_regional_features"] = np.concatenate(reg_feed)
+        fn = self._logits_fn(model, variables,
+                             2 if images is not None else 0,
+                             with_regional=regional is not None)
         logits = _batched_apply(fn, variables, feed, self.micro_batch)
         logits = logits.reshape(len(stories), P, -1)
         pair_idx = self.packer.pack_all_pairs(stories[0], pair_len)[3]
@@ -134,7 +146,8 @@ class SortEvaluator:
 
     def story_logits(self, model, variables, stories: List[List[str]],
                      images: Optional[np.ndarray] = None,
-                     want: str = "logits") -> np.ndarray:
+                     want: str = "logits",
+                     regional: Optional[np.ndarray] = None) -> np.ndarray:
         """Whole-story forward (head / pure_class / heatmap models)."""
         packs = [self.packer.pack_story(t, self.cfg.max_seq_length)
                  for t in stories]
@@ -145,12 +158,16 @@ class SortEvaluator:
         }
         if images is not None:
             feed["images"] = images
-        key = f"story:{id(model)}:{want}:{images is not None}"
+        if regional is not None:
+            feed["img_regional_features"] = regional
+        key = (f"story:{id(model)}:{want}:{images is not None}:"
+               f"{regional is not None}")
         if key not in self._jit_cache:
             def fn(variables, chunk):
                 out = model.apply(
                     variables, chunk["input_ids"], chunk["attention_mask"],
                     chunk["token_type_ids"], images=chunk.get("images"),
+                    img_regional_features=chunk.get("img_regional_features"),
                     deterministic=True)
                 return out[want]
             self._jit_cache[key] = jax.jit(fn)
@@ -284,11 +301,15 @@ class SortEvaluator:
                       if valid is None or valid[k]]
             guids = [g for k, g in enumerate(batch.get(
                 "guid", [""] * len(stories))) if valid is None or valid[k]]
+            sel = np.asarray(valid) if valid is not None else slice(None)
             images = batch.get("images")
             if images is not None:
-                images = np.asarray(images)[
-                    np.asarray(valid) if valid is not None else slice(None)]
-            preds = self._decode_batch(sort_method, models, stories, images)
+                images = np.asarray(images)[sel]
+            regional = batch.get("img_regional_features")
+            if regional is not None:
+                regional = np.asarray(regional)[sel]
+            preds = self._decode_batch(sort_method, models, stories, images,
+                                       regional)
             all_preds.extend(preds)
             all_labels.extend([np.asarray(l) for l in labels])
             all_guids.extend(guids)
@@ -309,7 +330,8 @@ class SortEvaluator:
                                 all_labels, res)
         return res
 
-    def _decode_batch(self, sort_method, models, stories, images):
+    def _decode_batch(self, sort_method, models, stories, images,
+                      regional=None):
         if sort_method == "berson":
             model, variables = models["berson"]
             items = []
@@ -333,12 +355,13 @@ class SortEvaluator:
         if sort_method == "heat_map":
             model, variables = models["heatmap"]
             hms = self.story_logits(model, variables, stories, images,
-                                    want="heatmap")
+                                    want="heatmap", regional=regional)
             return self.decode_heatmap(hms)
 
         if sort_method == "pure_class":
             model, variables = models["pure_class"]
-            logits = self.story_logits(model, variables, stories, images)
+            logits = self.story_logits(model, variables, stories, images,
+                                       regional=regional)
             n = self.cfg.max_story_length
             return [permutation_unrank(int(np.argmax(l)), n) for l in logits]
 
@@ -354,7 +377,8 @@ class SortEvaluator:
             # permutation argmax (n! <= 120 beats beam-5)
             model, variables = models["pointer"]
             logits = self.story_logits(model, variables, stories, images,
-                                       want="pointer_logits")
+                                       want="pointer_logits",
+                                       regional=regional)
             n = self.cfg.max_story_length
             from itertools import permutations
             logp = logits - _logsumexp(logits, axis=-1, keepdims=True)
@@ -371,12 +395,13 @@ class SortEvaluator:
         head_idx = None
         if sort_method.startswith("head_and"):
             hmodel, hvars = models["head"]
-            hlogits = self.story_logits(hmodel, hvars, stories, images)
+            hlogits = self.story_logits(hmodel, hvars, stories, images,
+                                        regional=regional)
             head_idx = np.argmax(hlogits, axis=-1)
 
         pmodel, pvars = models["pairwise"]
         pair_logits, pair_2c = self.pair_logit_matrix(
-            pmodel, pvars, stories, images)
+            pmodel, pvars, stories, images, regional=regional)
 
         if sort_method == "topological":
             return self.decode_topological(pair_2c)

@@ -136,8 +136,11 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
         for batch in prefetch(data_loader(
                 train_dataset, batch_size, shuffle=True,
                 seed=args.seed, epoch=epoch)):
-            # host-side aux-objective surgery (`train.py:298-304`, itm swap)
-            if "mlm" in aux_objs:
+            # host-side aux-objective surgery (`train.py:298-304`, itm swap).
+            # mlm_wo_loss masks inputs like mlm but adds no loss term (the
+            # reference masks for either flag, `train.py:298-304`; the loss
+            # gate lives in steps.py:111 and fires only for "mlm")
+            if aux_objs & {"mlm", "mlm_wo_loss"}:
                 masked, mlabels = mask_tokens_sentence(
                     np.asarray(batch["input_ids"]),
                     mlm_probability=cfg.mlm_probability,

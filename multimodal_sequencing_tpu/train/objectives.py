@@ -198,6 +198,14 @@ def plan_objective(objective: str, batch: Dict[str, np.ndarray], cfg,
             modality = rng.choice(["multimodal", "text_only", "image_only"])
             if modality == "text_only":
                 images = None
+            elif modality == "image_only":
+                # reference shrinks language to the leading CLS token only
+                # (`modeling.py:1948-1957`: input_ids/token_type_ids/
+                # attention_mask/masked_lm_labels all -> [:, 0:1])
+                for k in ("input_ids", "attention_mask", "token_type_ids",
+                          "mlm_labels"):
+                    if k in batch:
+                        batch[k] = batch[k][:, :1]
             aux["modality"] = modality
 
     elif objective == "time_contrastive":
@@ -238,6 +246,38 @@ def plan_objective(objective: str, batch: Dict[str, np.ndarray], cfg,
             perms[i, px], perms[i, py] = perms[i, py].copy(), \
                 perms[i, px].copy()
         aux["patch_perm"] = perms
+        aux["objective_labels"] = (~flags).astype(np.int32)
+
+    elif objective == "patch_based_image_sequence_predictions":
+        # The reference constructs this head (`modeling.py:1665-1669`) and
+        # routes its loss (`:2296-2308`) but never implemented the encoder
+        # surgery (`:943-944` raises NotImplementedError "Not done yet!").
+        # We implement the head's evident intent — the patch-level analogue
+        # of image_sequence_predictions: replace a random patch subset of
+        # ONE step with patches drawn from another sample's folded stream;
+        # classify corrupted (0) vs intact (1).
+        grid2 = cfg.patch_grid ** 2
+        stream = 1 + eff_n * grid2
+        flags = corrupt_flags()
+        perms = np.tile(np.arange(stream, dtype=np.int32), (b, 1))
+        srcs = np.tile(np.arange(b, dtype=np.int32)[:, None], (1, stream))
+        for i in range(b):
+            if b < 2 or not flags[i]:
+                flags[i] = False
+                continue
+            num_sub = int(rng.integers(0, grid2))
+            if num_sub == 0:
+                flags[i] = False
+                continue
+            donor = int(rng.choice([j for j in range(b) if j != i]))
+            x = int(rng.integers(eff_n))   # corrupted step (this sample)
+            y = int(rng.integers(eff_n))   # donor step (other sample)
+            px = 1 + x * grid2 + rng.choice(grid2, num_sub, replace=False)
+            py = 1 + y * grid2 + rng.choice(grid2, num_sub, replace=False)
+            perms[i, px] = py
+            srcs[i, px] = donor
+        aux["patch_perm"] = perms
+        aux["patch_src"] = srcs
         aux["objective_labels"] = (~flags).astype(np.int32)
 
     elif objective == "patch_based_mrm_classification":
