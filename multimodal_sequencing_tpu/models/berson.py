@@ -199,8 +199,26 @@ class BersonOrdering(nn.Module):
         cfg = self.cfg
         h = cfg.encoder.hidden_size
         if cfg.multimodal:
-            self.inner = MultimodalEncoder(cfg, self.vision_cfg,
-                                           name="inner")
+            # inner-encoder dispatch per multimodal_model_type, mirroring
+            # `modeling_bert.py:1253-1306` (visualbert / clip / naive; the
+            # reference's naive branch is broken there — it reads
+            # inner_sequence_output that its own branch never assigns — so
+            # the naive composition here implements the evident intent)
+            mt = cfg.multimodal_model_type
+            if mt == "visualbert":
+                from .visualbert import VisualBERTEncoder
+                self.inner = VisualBERTEncoder(cfg, name="inner")
+            elif mt == "naive":
+                from .naive_model import NaiveMultimodalModel
+                self.inner = NaiveMultimodalModel(
+                    cfg, vision_name=cfg.vision_model, name="inner")
+            elif mt == "clip":
+                self.inner = MultimodalEncoder(cfg, self.vision_cfg,
+                                               name="inner")
+            else:
+                raise NotImplementedError(
+                    f"berson inner model type {mt} (the reference raises "
+                    "here too, modeling_bert.py:1304-1306)")
         else:
             self.inner = TextEncoder(cfg.encoder, name="inner")
         self.two_level_encoder = HierarchicalAttention(
@@ -235,13 +253,24 @@ class BersonOrdering(nn.Module):
             pairs = jnp.asarray(berson_pairs(n))
             imgs = batch["images"][:, pairs]            # (B, P, 2, C, H, W)
             imgs = flat(imgs)                            # (B*P, 2, C, H, W)
-            lang, visn, _ = self.inner(ids, attn, types, images=imgs,
-                                       deterministic=deterministic)
-            if visn is not None:
-                visn_cls = visn[:, 0].reshape(b, p, -1)  # image-stream CLS
+            if cfg.multimodal_model_type == "naive":
+                out = self.inner(ids, attn, types, images=imgs,
+                                 deterministic=deterministic)
+                # naive appends projected image tokens after the text; the
+                # pair encoding uses the language span, image-stream CLS is
+                # the first appended token
+                seq = out["sequence_output"]
+                lang = seq[:, :ids.shape[1]]
+                visn_cls = seq[:, ids.shape[1]:][:, 0].reshape(b, p, -1)
+            else:  # clip (folded stream) and visualbert (per-step tokens)
+                lang, visn, _ = self.inner(ids, attn, types, images=imgs,
+                                           deterministic=deterministic)
+                if visn is not None:
+                    # image-stream CLS (`modeling_bert.py:1273-1275,1293`)
+                    visn_cls = visn[:, 0].reshape(b, p, -1)
         else:
             out = self.inner(ids, attn, types, deterministic=deterministic)
-            lang = out[0]
+            lang = out["sequence_output"] if isinstance(out, dict) else out[0]
         top_vec = lang.reshape(b, p, L, -1)
         cls_pooled = top_vec[:, :, 0]  # CLS hidden (`modeling_bert.py:1290`)
 

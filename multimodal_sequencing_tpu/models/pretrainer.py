@@ -65,8 +65,21 @@ class SequencingPretrainer(nn.Module):
         cfg = self.cfg
         h = cfg.encoder.hidden_size
         if cfg.multimodal:
-            self.encoder = MultimodalEncoder(cfg, self.vision_cfg,
-                                             name="encoder")
+            # encoder dispatch per multimodal_model_type: the reference
+            # builds pretraining models for naive/visualbert/clip
+            # (`run_pretraining.py:1258,1359,1448`;
+            # `VisualBERTForPretraining`, visual_bert_mmf.py:190)
+            mt = cfg.multimodal_model_type
+            if mt == "visualbert":
+                from .visualbert import VisualBERTEncoder
+                self.encoder = VisualBERTEncoder(cfg, name="encoder")
+            elif mt == "naive":
+                from .naive_model import NaiveMultimodalModel
+                self.encoder = NaiveMultimodalModel(
+                    cfg, vision_name=cfg.vision_model, name="encoder")
+            else:
+                self.encoder = MultimodalEncoder(cfg, self.vision_cfg,
+                                                 name="encoder")
         else:
             self.encoder = TextEncoder(cfg.encoder, name="encoder")
         self.mlm_head = MLMHead(h, cfg.encoder.vocab_size,
@@ -104,6 +117,27 @@ class SequencingPretrainer(nn.Module):
             seq, pooled = self.encoder(ids, attn, types,
                                        deterministic=deterministic)
             return seq, None, pooled, None
+
+        mt = cfg.multimodal_model_type
+        if mt in ("visualbert", "naive"):
+            # per-step visual tokens, no folded patch stream: patch-based
+            # surgery cannot apply (the reference's patch objectives are
+            # clip-only by shape; run_pretraining validates this upfront)
+            if patch_perm is not None or mask_idx is not None:
+                raise ValueError(
+                    f"patch-based pretraining objectives need the folded "
+                    f"CLIP visual stream; model type {mt} has per-step "
+                    "visual tokens")
+            if mt == "visualbert":
+                lang_out, visn_out, pooled = self.encoder(
+                    ids, attn, types, images=images,
+                    deterministic=deterministic)
+                return lang_out, visn_out, pooled, None
+            out = self.encoder(ids, attn, types, images=images,
+                               deterministic=deterministic)
+            seq = out["sequence_output"]
+            L = ids.shape[1]
+            return seq[:, :L], seq[:, L:], out["pooled_output"], None
 
         lang, attn2 = self.encoder.embed_language(ids, attn, types,
                                                   deterministic)

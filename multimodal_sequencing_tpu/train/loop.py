@@ -300,6 +300,15 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
     objectives = [o for o in objectives if o not in ("no_mlm", "visual_mlm")]
     if not objectives:
         objectives = ["mlm_only"]
+    if (cfg.multimodal
+            and cfg.multimodal_model_type in ("visualbert", "naive")):
+        patch_objs = {o for o in objectives if o.startswith("patch_based")}
+        if patch_objs:
+            raise ValueError(
+                f"objectives {sorted(patch_objs)} operate on the folded "
+                "CLIP visual token stream and cannot run with "
+                f"--multimodal_model_type {cfg.multimodal_model_type} "
+                "(per-step visual tokens); drop them or use clip")
 
     tx = make_optimizer(
         learning_rate=args.learning_rate, warmup_steps=args.warmup_steps,

@@ -240,3 +240,38 @@ def test_berson_short_story_loss_matches_small_model(tokenizer):
     # pairwise loss must match exactly (same true pairs, masked mean);
     # pointer loss matches because padded positions gather dead nodes
     np.testing.assert_allclose(losses[m][1], losses[5][1], rtol=1e-4)
+
+
+def test_berson_inner_dispatch_visualbert_and_naive(tokenizer):
+    """BERSON over VisualBERT / naive inner encoders
+    (`modeling_bert.py:1253-1306`): forward + beam decode work and the
+    losses differ across the three inner model types on the same batch,
+    proving the dispatch is real (the reference's naive branch is broken
+    there; see BersonOrdering.setup)."""
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(2, 3, 3, 32, 32).astype(np.float32))
+    losses = {}
+    for mt in ("visualbert", "naive"):
+        cfg = _cfg(3, multimodal=True, multimodal_model_type=mt,
+                   vision_model="resnet18", image_size=(32, 32))
+        model = BersonOrdering(cfg, beam_size=2)
+        batch = _berson_batch(tokenizer, n=3, b=2)
+        batch["images"] = images
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        out = model.apply(variables, batch)
+        losses[mt] = float(out["loss"])
+        assert np.isfinite(losses[mt]), mt
+        pred = model.apply(variables, batch,
+                           method=BersonOrdering.beam_search)
+        for row in np.asarray(pred):
+            assert sorted(row.tolist()) == [0, 1, 2], mt
+
+    from multimodal_sequencing_tpu.models.clip_visual import CLIPVisionConfig
+    cfg = _cfg(3, multimodal=True, multimodal_model_type="clip",
+               clip_model_name="ViT-B/32", image_size=(32, 32))
+    model = BersonOrdering(cfg, CLIPVisionConfig.tiny_vit(), beam_size=2)
+    batch = _berson_batch(tokenizer, n=3, b=2)
+    batch["images"] = images
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    losses["clip"] = float(model.apply(variables, batch)["loss"])
+    assert len({round(v, 8) for v in losses.values()}) == 3, losses

@@ -127,6 +127,7 @@ def test_choose_objective_uniform():
 @pytest.mark.parametrize("objective", [
     "image_swapping", "multimodal_swapping", "margin_loss",
     "time_contrastive", "patch_based_image_swapping",
+    "patch_based_image_sequence_predictions",
     "patch_based_mrm_classification"])
 def test_pretrainer_losses(objective, tokenizer):
     cfg = _cfg(n=3)
@@ -374,3 +375,144 @@ def test_pretraining_loop_fsdp(tmp_path):
     l_fs = run(tmp_path / "fs", fsdp=True)
     assert len(l_dp) == len(l_fs) == 2
     np.testing.assert_allclose(l_dp, l_fs, rtol=3e-3)
+
+
+def test_plan_patch_seq_predictions():
+    """patch_based_image_sequence_predictions: corrupted samples have
+    patch_src slots pointing at a donor sample; intact samples keep an
+    identity (perm, src) map."""
+    cfg = _cfg()
+    batch = _batch(cfg, b=4)
+    rng = np.random.default_rng(11)
+    nb, aux = plan_objective("patch_based_image_sequence_predictions",
+                             batch, cfg, rng)
+    stream = 1 + 2 * cfg.patch_grid ** 2  # subsampled to 2 steps
+    assert aux["patch_perm"].shape == (4, stream)
+    assert aux["patch_src"].shape == (4, stream)
+    labels = aux["objective_labels"]
+    identity = np.arange(stream)
+    own = np.arange(4)[:, None]
+    seen_corrupt = False
+    for i in range(4):
+        foreign = aux["patch_src"][i] != i
+        if labels[i] == 1:
+            assert not foreign.any()
+            assert (aux["patch_perm"][i] == identity).all()
+        else:
+            seen_corrupt = True
+            assert foreign.any()
+            # donated slots land inside one step's patch range
+            assert (aux["patch_perm"][i][foreign] >= 1).all()
+    assert seen_corrupt
+    assert (aux["patch_src"][labels == 1] == own[labels == 1]).all()
+
+
+def test_pretraining_loop_full_reference_objective_list(tmp_path):
+    """Loop smoke test with the FULL reference objective flag list
+    (`run_pretraining.py --multimodal_pretrain_objectives` choices): every
+    objective head inits, and steps train with finite losses across the
+    random per-batch objective draws."""
+    import argparse
+    import json
+
+    from multimodal_sequencing_tpu.train.loop import run_pretraining
+    from multimodal_sequencing_tpu.parallel.mesh import make_mesh
+
+    objectives = [
+        "image_swapping", "patch_based_image_swapping",
+        "patch_based_mrm_classification", "image_sequence_predictions",
+        "patch_based_image_sequence_predictions", "time_contrastive",
+        "whole_image_sequence_swapping", "multimodal_swapping",
+        "margin_loss", "multimodal_margin_loss", "swapping_based_nsp",
+        "sequence_based_nsp", "visual_mlm"]
+    cfg = _cfg(n=3, multimodal_pretrain_objectives=objectives)
+    vcfg = CLIPVisionConfig.tiny_vit()
+    items = [{k: v[0] for k, v in _batch(cfg, b=1, seed=i).items()}
+             for i in range(8)]
+    ds = _ListDataset(items)
+    model = SequencingPretrainer(cfg, vcfg)
+    args = argparse.Namespace(
+        per_gpu_train_batch_size=4, learning_rate=1e-3,
+        weight_decay=0.0, adam_epsilon=1e-8, max_grad_norm=1.0,
+        num_train_epochs=1, max_steps=6, warmup_steps=0,
+        gradient_accumulation_steps=1, logging_steps=1, save_steps=0,
+        seed=3, output_dir=str(tmp_path), mlm_probability=0.15,
+        model_name_or_path="simple")
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    run_pretraining(cfg, model, ds, args, tokenizer=None, mesh=mesh)
+    losses = []
+    with open(os.path.join(str(tmp_path), "logs", "scalars.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            if row["tag"] == "pretrain/loss":
+                losses.append(row["value"])
+    assert len(losses) == 6
+    assert np.isfinite(losses).all()
+
+
+def test_visualbert_pretraining_loop(tmp_path):
+    """VisualBERT pretraining path (`visual_bert_mmf.py:190`,
+    `run_pretraining.py:1359`): per-step visual tokens + image-level
+    objectives train; patch-based objectives are rejected loudly."""
+    import argparse
+    import json
+
+    from multimodal_sequencing_tpu.train.loop import run_pretraining
+    from multimodal_sequencing_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg(n=3, multimodal_model_type="visualbert",
+               vision_model="resnet18",
+               multimodal_pretrain_objectives=["image_swapping"])
+    items = [{k: v[0] for k, v in _batch(cfg, b=1, seed=i).items()}
+             for i in range(8)]
+    ds = _ListDataset(items)
+    model = SequencingPretrainer(cfg)
+    args = argparse.Namespace(
+        per_gpu_train_batch_size=2, learning_rate=1e-3,
+        weight_decay=0.0, adam_epsilon=1e-8, max_grad_norm=1.0,
+        num_train_epochs=1, max_steps=2, warmup_steps=0,
+        gradient_accumulation_steps=1, logging_steps=1, save_steps=0,
+        seed=0, output_dir=str(tmp_path), mlm_probability=0.15,
+        model_name_or_path="simple")
+    mesh = make_mesh(n_data=1, devices=jax.devices()[:1])
+    run_pretraining(cfg, model, ds, args, tokenizer=None, mesh=mesh)
+    losses = []
+    with open(os.path.join(str(tmp_path), "logs", "scalars.jsonl")) as f:
+        for line in f:
+            row = json.loads(line)
+            if row["tag"] == "pretrain/loss":
+                losses.append(row["value"])
+    assert len(losses) == 2 and np.isfinite(losses).all()
+
+    bad_cfg = _cfg(n=3, multimodal_model_type="visualbert",
+                   vision_model="resnet18",
+                   multimodal_pretrain_objectives=[
+                       "patch_based_image_swapping"])
+    with pytest.raises(ValueError, match="folded CLIP visual"):
+        run_pretraining(bad_cfg, SequencingPretrainer(bad_cfg), ds, args,
+                        tokenizer=None, mesh=mesh)
+
+
+def test_naive_pretraining_forward():
+    """Naive pretraining path (`run_pretraining.py:1258`): appended image
+    tokens, binary objective + MLM losses finite."""
+    cfg = _cfg(n=3, multimodal_model_type="naive", vision_model="resnet18")
+    model = SequencingPretrainer(cfg)
+    batch = _batch(cfg, b=2)
+    rng_np = np.random.default_rng(9)
+    masked, labels = mask_tokens_sentence(
+        batch["input_ids"], mlm_probability=0.15, pad_id=cfg.pad_id,
+        cls_id=cfg.cls_id, mask_id=cfg.mask_id,
+        vocab_size=cfg.encoder.vocab_size,
+        ignore_index=cfg.mlm_ignore_index, rng=rng_np)
+    batch["input_ids"] = masked
+    batch["mlm_labels"] = labels
+    nb, aux = plan_objective("image_swapping", batch, cfg, rng_np)
+    nbj = {k: jnp.asarray(v) for k, v in nb.items()}
+    auxj = {k: jnp.asarray(v) for k, v in aux.items()
+            if isinstance(v, np.ndarray) and np.asarray(v).ndim > 0}
+    variables = model.init(jax.random.PRNGKey(0), nbj, "image_swapping",
+                           auxj)
+    losses = model.apply(variables, nbj, "image_swapping", auxj)
+    assert np.isfinite(float(losses["loss"]))
+    assert "image_swapping" in losses and "mlm" in losses
