@@ -137,6 +137,10 @@ class MultimodalConfig:
     hl_include_objectives: List[str] = field(default_factory=list)
     heatmap_decode_method: str = "naive_v2_sum"
     heatmap_decode_beam_size: int = 2
+    # batched on-device decode in SortEvaluator (`ops/order_decode`): exact
+    # n! argmax for the naive family, vectorized Kahn for topological; the
+    # host decoders remain the parity oracle
+    device_decode: bool = False
     num_labels: int = 2
     wrapper_model_type: Optional[str] = None   # None | "berson"
     wrapper_model_with_heatmap: bool = False

@@ -76,6 +76,45 @@ def exhaustive_order_decode(heatmap: jax.Array, n: int,
     return perms[best]
 
 
+@functools.partial(jax.jit, static_argnames=("n", "decode_method"))
+def exhaustive_naive_decode(heatmap: jax.Array, n: int,
+                            decode_method: str = "naive_v2_sum") -> jax.Array:
+    """Exact argmax over all n! orders under the EXACT scoring rule of the
+    host `naive`/`naive_v2`/`naive_v3` (± `_sum`) beam decoders
+    (`utils/heatmap.py::_decode_naive_beam`, reference
+    `train_utils.py:139-252`):
+
+      score(p) = sum_t f(hm[p_t, p_{t+1}]) + tail(p)
+      tail     = f(1 - hm[p_last, p_0])   for v2 (reversed-head correction)
+                 f(|hm[p_last, p_0]|)     for v3
+      f        = identity for `_sum`, log(x + eps) otherwise; v3 scores |hm|.
+
+    The host beam explores a pruned subset of permutations with this same
+    score, so on any heatmap where the beam finds the global argmax (all
+    clean total-order heatmaps in particular) the two decoders agree; the
+    device path is strictly stronger elsewhere. Returns (B, n)."""
+    is_v2 = "v2" in decode_method
+    is_v3 = "v3" in decode_method
+    use_sum = "sum" in decode_method
+    perms = jnp.asarray(all_permutations(n))  # (K, n)
+    hm = heatmap[:, :n, :n].astype(jnp.float32)
+    hm_eff = jnp.abs(hm) if is_v3 else hm
+    terms = hm_eff[:, perms[:, :-1], perms[:, 1:]]  # (B, K, n-1)
+    tail = None
+    if is_v2:
+        tail = 1.0 - hm[:, perms[:, -1], perms[:, 0]]  # (B, K)
+    elif is_v3:
+        tail = jnp.abs(hm[:, perms[:, -1], perms[:, 0]])
+    if not use_sum:
+        terms = jnp.log(terms + EPS)
+        if tail is not None:
+            tail = jnp.log(tail + EPS)
+    scores = terms.sum(-1)
+    if tail is not None:
+        scores = scores + tail
+    return perms[jnp.argmax(scores, axis=-1)]
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def greedy_order_decode(heatmap: jax.Array, n: int) -> jax.Array:
     """Greedy chain decode for large N: start from the row with the highest

@@ -87,6 +87,10 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
         choices=["super_naive", "naive", "naive_v2", "naive_v2_sum",
                  "naive_sum", "naive_v3", "mst", "topological"])
     add("--heatmap_decode_beam_size", type=int, default=2)
+    add("--device_decode", action="store_true",
+        help="decode orders on-device (ops/order_decode): exact n! argmax "
+             "for the naive heatmap family, vectorized Kahn for "
+             "topological; host decoders remain the parity oracle")
     add("--hl_include_objectives", type=str, nargs="+", default=None)
     add("--wrapper_model_type", type=str, default=None)
     add("--wrapper_model_with_heatmap", action="store_true")
@@ -241,6 +245,7 @@ def build_config(args):
         hl_include_objectives=args.hl_include_objectives or [],
         heatmap_decode_method=args.heatmap_decode_method,
         heatmap_decode_beam_size=args.heatmap_decode_beam_size,
+        device_decode=args.device_decode,
         wrapper_model_type=args.wrapper_model_type,
         wrapper_model_with_heatmap=args.wrapper_model_with_heatmap,
         multimodal_pretrain_objectives=(

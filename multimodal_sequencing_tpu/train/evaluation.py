@@ -270,11 +270,34 @@ class SortEvaluator:
             preds.append(pred)
         return preds
 
+    # exhaustive n! device decode is exact and cheap up to this story length
+    # (7! = 5040 candidate orders per story, still one tiny fused program)
+    DEVICE_DECODE_MAX_N = 7
+
     def decode_heatmap(self, heatmaps: np.ndarray) -> List[List[int]]:
+        cfg = self.cfg
+        method = cfg.heatmap_decode_method
+        n = int(np.asarray(heatmaps).shape[-1])
+        if getattr(cfg, "device_decode", False):
+            from ..ops.order_decode import (
+                exhaustive_naive_decode, greedy_order_decode,
+                topological_decode_batch)
+            hm = jnp.asarray(np.asarray(heatmaps, np.float32))
+            if ("naive" in method and method != "super_naive"
+                    and n <= self.DEVICE_DECODE_MAX_N):
+                out = exhaustive_naive_decode(hm, n, method)
+            elif method == "topological":
+                out = topological_decode_batch(hm, n)
+            elif "naive" in method and method != "super_naive":
+                out = greedy_order_decode(hm, n)
+            else:  # super_naive / mst stay host-only
+                out = None
+            if out is not None:
+                return [[int(x) for x in row] for row in np.asarray(out)]
         return [heatmap2order(
             hm.astype(np.float64),
-            decode_method=self.cfg.heatmap_decode_method,
-            beam_size=self.cfg.heatmap_decode_beam_size)
+            decode_method=method,
+            beam_size=cfg.heatmap_decode_beam_size)
             for hm in heatmaps]
 
     # ----- full evaluation ---------------------------------------------------
@@ -404,6 +427,19 @@ class SortEvaluator:
             pmodel, pvars, stories, images, regional=regional)
 
         if sort_method == "topological":
+            if getattr(self.cfg, "device_decode", False):
+                # device Kahn over the argmax tournament: identical to the
+                # host DFS topo sort whenever the pairwise argmax graph is
+                # acyclic (then the Hamiltonian order is unique); cycles
+                # fall back to lowest-index emission instead of the DFS
+                # stack order, so the host decoder stays the parity oracle
+                from ..ops.order_decode import topological_decode_batch
+                n = pair_2c.shape[1]
+                e = pair_2c - _logsumexp(pair_2c, axis=-1, keepdims=True)
+                prob_ordered = np.exp(e[..., 1])
+                out = topological_decode_batch(
+                    jnp.asarray(prob_ordered, jnp.float32), n, thres=0.5)
+                return [[int(x) for x in row] for row in np.asarray(out)]
             return self.decode_topological(pair_2c)
         if sort_method == "head_and_topological":
             return self.decode_topological(pair_2c, head_idx)

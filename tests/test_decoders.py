@@ -140,3 +140,124 @@ def test_permutation_codec():
     l2i, _ = build_permutation_label_maps(5)
     assert len(l2i) == 120
     assert permutation_rank(permutation_unrank(77, 5)) == 77
+
+
+# ---- device decode vs host parity (SortEvaluator --device_decode path) ----
+
+@pytest.mark.parametrize("method", [
+    "naive", "naive_sum", "naive_v2", "naive_v2_sum"])
+def test_exhaustive_naive_decode_matches_host_on_total_orders(method):
+    """Device exact n! decode == host beam on clean total-order heatmaps
+    (the beam finds the global argmax there). v3 is excluded by design:
+    its tail term |hm[p_last, p_0]| REWARDS rotations of the true order,
+    so even the exact argmax legitimately diverges from the pruned host
+    beam on clean maps — v3 is covered by the score-dominance test."""
+    import jax.numpy as jnp
+    from multimodal_sequencing_tpu.ops.order_decode import (
+        exhaustive_naive_decode)
+    rng = np.random.RandomState(3)
+    n = 5
+    orders, hms = [], []
+    for _ in range(8):
+        order = rng.permutation(n).tolist()
+        hm = render_order_heatmap(order, soft=True)
+        # mild noise below the soft/hard gap keeps the total order intact
+        hm = np.clip(hm + rng.uniform(0, 0.04, hm.shape), 0, 1)
+        orders.append(order)
+        hms.append(hm.astype(np.float32))
+    dev = np.asarray(exhaustive_naive_decode(
+        jnp.asarray(np.stack(hms)), n, method))
+    for k in range(8):
+        host = heatmap2order(hms[k].astype(np.float64),
+                             decode_method=method, beam_size=2)
+        assert dev[k].tolist() == host, (method, k, orders[k])
+
+
+@pytest.mark.parametrize("method", [
+    "naive", "naive_sum", "naive_v2", "naive_v2_sum", "naive_v3",
+    "naive_v3_sum"])
+def test_exhaustive_naive_decode_never_below_host_score(method):
+    """On arbitrary heatmaps the device n! argmax scores >= the host beam
+    under the shared objective (strictly-stronger property; the only
+    guarantee that also covers the v3 family, whose host beam explores on
+    signed rows while scoring on |hm|)."""
+    import jax.numpy as jnp
+    from multimodal_sequencing_tpu.ops.order_decode import (
+        exhaustive_naive_decode)
+    rng = np.random.RandomState(7)
+    n = 4
+    eps = 1e-8
+
+    def score(hm, p):
+        terms = [hm[p[t], p[t + 1]] for t in range(n - 1)]
+        if "v2" in method:
+            terms.append(1 - hm[p[-1], p[0]])
+        elif "v3" in method:
+            terms.append(abs(hm[p[-1], p[0]]))
+        if "v3" in method:
+            terms = [abs(x) for x in terms]
+        if "sum" not in method:
+            terms = [np.log(x + eps) for x in terms]
+        return float(np.sum(terms))
+
+    hms = rng.uniform(0, 1, (16, n, n)).astype(np.float32)
+    dev = np.asarray(exhaustive_naive_decode(jnp.asarray(hms), n, method))
+    for k in range(16):
+        host = heatmap2order(hms[k].astype(np.float64),
+                             decode_method=method, beam_size=2)
+        assert score(hms[k], dev[k]) >= score(hms[k], host) - 1e-5
+
+
+def test_device_topological_matches_host_on_acyclic_tournaments():
+    """Device Kahn over an argmax tournament == host DFS topo sort whenever
+    the tournament is acyclic (unique Hamiltonian order)."""
+    import jax.numpy as jnp
+    from multimodal_sequencing_tpu.ops.order_decode import (
+        topological_decode_batch)
+    rng = np.random.RandomState(11)
+    n = 5
+    probs, expect = [], []
+    for _ in range(6):
+        order = rng.permutation(n).tolist()
+        pos = {v: i for i, v in enumerate(order)}
+        pm = np.zeros((n, n), np.float32)
+        for i in range(n):
+            for j in range(n):
+                if i != j:
+                    pm[i, j] = 0.9 if pos[i] < pos[j] else 0.1
+        probs.append(pm)
+        g = Graph(n)
+        for i in range(n):
+            for j in range(i + 1, n):
+                g.addEdge(i, j) if pm[i, j] > 0.5 else g.addEdge(j, i)
+        expect.append(g.topologicalSort())
+    dev = np.asarray(topological_decode_batch(
+        jnp.asarray(np.stack(probs)), n, thres=0.5))
+    for k in range(6):
+        assert dev[k].tolist() == expect[k]
+
+
+def test_sort_evaluator_device_decode_flag_flow(tmp_path):
+    """`--device_decode` flows CLI -> config -> SortEvaluator.decode_heatmap
+    and the device path reproduces the host decode on total-order heatmaps."""
+    from multimodal_sequencing_tpu.train.cli import build_parser, build_config
+    from multimodal_sequencing_tpu.train.evaluation import SortEvaluator
+
+    base = ["--model_name_or_path", "simple", "--model_size", "tiny",
+            "--max_seq_length", "64", "--per_seq_max_length", "12",
+            "--output_dir", str(tmp_path)]
+    cfg_host, _ = build_config(build_parser("eval").parse_args(base))
+    cfg_dev, _ = build_config(build_parser("eval").parse_args(
+        base + ["--device_decode"]))
+    assert not cfg_host.device_decode and cfg_dev.device_decode
+
+    rng = np.random.RandomState(5)
+    hms = []
+    for _ in range(4):
+        order = rng.permutation(5).tolist()
+        hm = render_order_heatmap(order, soft=True)
+        hms.append(np.clip(hm + rng.uniform(0, 0.04, hm.shape), 0, 1))
+    hms = np.stack(hms).astype(np.float32)
+    host = SortEvaluator(cfg_host, packer=None).decode_heatmap(hms)
+    dev = SortEvaluator(cfg_dev, packer=None).decode_heatmap(hms)
+    assert dev == host
