@@ -118,6 +118,10 @@ class MultimodalConfig:
     multimodal: bool = False
     multimodal_model_type: str = "clip"   # naive | visualbert | clip
     vision_model: str = "resnet50"
+    # box-head width of the FPN tower (reference --vision_feature_dim /
+    # vision_feature_dim, multimodal_utils.py:81); None = tower default
+    # (2048); detectron2-zoo checkpoints use 1024
+    vision_feature_dim: Optional[int] = None
     clip_model_name: str = "RN50"         # RN50 | ViT-B/32
     visual_feat_dim: int = 2048           # RN50 grid channels
     visual_pos_dim: int = 4

@@ -196,6 +196,115 @@ def convert_clip_rn50(state_dict: Dict, layers=(3, 4, 6, 3)) -> Dict:
     return {"params": {"resnet": params}, "batch_stats": {"resnet": stats}}
 
 
+def convert_detectron2_fpn(state_dict: Dict, backbone_name: str = "resnet50",
+                           roi_size: int = 7) -> Dict:
+    """Detectron2 model-zoo ResNet-FPN weights -> FPNVisionTower variables.
+
+    Accepts the `model` dict of a detectron2 `model_final_*.pkl` / .pth
+    (the checkpoints the reference loads via DetectionCheckpointer,
+    `multimodal_utils.py:30-41`). Converts:
+
+    * `backbone.bottom_up.*` (stem + res2..res5, FrozenBN as running
+      stats) -> `bottom_up` params/batch_stats,
+    * `backbone.fpn_lateral{2..5}` / `fpn_output{2..5}` -> `fpn`,
+    * `proposal_generator.rpn_head.conv` -> `obj_conv` and the square
+      (ratio-1.0) anchor channel of `rpn_head.objectness_logits` ->
+      `obj_logit` (this tower's proposal head is a class-agnostic
+      objectness peak-picker, so only the aspect-1 anchor transfers),
+    * `roi_heads.box_head.fc1/fc2` -> `box_fc1/box_fc2`, with fc1's
+      input rows permuted from detectron2's channel-first (C, s, s) ROI
+      flattening to this tower's NHWC (s, s, C) flattening.
+
+    The RPN box-regression deltas and box-predictor have no counterpart
+    (this tower uses fixed-aspect anchor boxes, fpn.py docstring) and are
+    dropped. Returns {"params": ..., "batch_stats": ...} for the
+    `vision_model` subtree; build the tower with
+    `feature_dim = fc1.shape[0]` (1024 in the zoo configs).
+    """
+    from .resnet import _SPECS, BasicBlock
+    sd = {k: _np(v) for k, v in state_dict.items()}
+
+    def conv(prefix, with_bias=False):
+        out = {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
+        if with_bias:
+            out["bias"] = sd[f"{prefix}.bias"]
+        return out
+
+    def frozen_bn(prefix):
+        return ({"scale": sd[f"{prefix}.weight"],
+                 "bias": sd[f"{prefix}.bias"]},
+                {"mean": sd[f"{prefix}.running_mean"],
+                 "var": sd[f"{prefix}.running_var"]})
+
+    bu = "backbone.bottom_up"
+    block_cls, layers, _ = _SPECS[backbone_name]
+    n_convs = 2 if block_cls is BasicBlock else 3
+    bparams: Dict = {"conv1": conv(f"{bu}.stem.conv1")}
+    bstats: Dict = {}
+    bparams["bn1"], bstats["bn1"] = frozen_bn(f"{bu}.stem.conv1.norm")
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            src = f"{bu}.res{stage+2}.{b}"
+            dst = f"layer{stage+1}_{b}"
+            bp: Dict = {}
+            bs: Dict = {}
+            for c in range(1, n_convs + 1):
+                bp[f"conv{c}"] = conv(f"{src}.conv{c}")
+                bp[f"bn{c}"], bs[f"bn{c}"] = frozen_bn(f"{src}.conv{c}.norm")
+            if f"{src}.shortcut.weight" in sd:
+                bp["downsample_conv"] = conv(f"{src}.shortcut")
+                bp["downsample_bn"], bs["downsample_bn"] = frozen_bn(
+                    f"{src}.shortcut.norm")
+            bparams[dst] = bp
+            bstats[dst] = bs
+
+    fpn = {}
+    for lvl in (2, 3, 4, 5):
+        fpn[f"lateral_c{lvl}"] = conv(f"backbone.fpn_lateral{lvl}",
+                                      with_bias=True)
+        fpn[f"output_p{lvl}"] = conv(f"backbone.fpn_output{lvl}",
+                                     with_bias=True)
+
+    params: Dict = {"bottom_up": bparams, "fpn": fpn}
+
+    rpn = "proposal_generator.rpn_head"
+    if f"{rpn}.conv.weight" in sd:
+        params["obj_conv"] = conv(f"{rpn}.conv", with_bias=True)
+        logit = conv(f"{rpn}.objectness_logits", with_bias=True)
+        a = logit["kernel"].shape[-1]  # anchors per cell (3 in zoo cfgs)
+        mid = a // 2                   # ratios (0.5, 1.0, 2.0) -> index 1
+        params["obj_logit"] = {"kernel": logit["kernel"][..., mid:mid + 1],
+                               "bias": logit["bias"][mid:mid + 1]}
+
+    bh = "roi_heads.box_head"
+    if f"{bh}.fc1.weight" in sd:
+        w1 = sd[f"{bh}.fc1.weight"]                      # (D, C*s*s)
+        d = w1.shape[0]
+        c_in = w1.shape[1] // (roi_size * roi_size)
+        w1 = w1.reshape(d, c_in, roi_size, roi_size)
+        w1 = w1.transpose(2, 3, 1, 0).reshape(-1, d)     # (s*s*C, D) NHWC
+        params["box_fc1"] = {"kernel": w1, "bias": sd[f"{bh}.fc1.bias"]}
+        params["box_fc2"] = {"kernel": sd[f"{bh}.fc2.weight"].T,
+                             "bias": sd[f"{bh}.fc2.bias"]}
+
+    return {"params": params, "batch_stats": bstats and {"bottom_up": bstats}}
+
+
+def load_detectron2_state_dict(path: str) -> Dict:
+    """Load a detectron2 checkpoint: `model_final_*.pkl` files are plain
+    pickles with a `model` dict of numpy arrays; .pth files are torch
+    checkpoints (DetectionCheckpointer handles both; so do we)."""
+    if path.endswith(".pkl"):
+        import pickle
+        with open(path, "rb") as f:
+            payload = pickle.load(f, encoding="latin1")
+    else:
+        payload = load_torch_state_dict(path)
+    if isinstance(payload, dict) and "model" in payload:
+        payload = payload["model"]
+    return {k: _np(v) for k, v in payload.items()}
+
+
 def apply_pretrained_to_state(state, args, cfg, encoder_key: str = "encoder"):
     """Load pretrained weights (see load_pretrained_weights) into a
     TrainState, merging BatchNorm running stats into model_state. The
@@ -294,13 +403,43 @@ def load_pretrained_weights(params: Dict, args, cfg) -> Dict:
 
     vc = getattr(args, "vision_model_checkpoint", None)
     if vc and os.path.exists(vc):
-        from .resnet import convert_torchvision_resnet
-        sd = load_torch_state_dict(vc)
-        p, stats = convert_torchvision_resnet(sd, cfg.vision_model)
         enc = dict(params.get("encoder", {}))
-        enc["vision_model"] = p
+        if (cfg.vision_model or "").startswith("detectron2"):
+            # detectron2-zoo checkpoint -> FPN tower (the interop the
+            # reference gets from DetectionCheckpointer,
+            # multimodal_utils.py:30-41)
+            from .fpn import backbone_from_name
+            sd = load_detectron2_state_dict(vc)
+            conv = convert_detectron2_fpn(
+                sd, backbone_from_name(cfg.vision_model))
+            # graft only the subtrees present in the target (obj/box heads
+            # exist only in regional mode) and with matching shapes —
+            # a feature_dim mismatch must fail loudly, not at trace time
+            import jax
+            tgt = enc.get("vision_model", {})
+            grafted = dict(tgt)
+            for k, v in conv["params"].items():
+                if tgt and k not in tgt:
+                    continue
+                if k in tgt:
+                    t_leaves = jax.tree_util.tree_leaves(tgt[k])
+                    s_leaves = jax.tree_util.tree_leaves(v)
+                    if [x.shape for x in t_leaves] != \
+                            [x.shape for x in s_leaves]:
+                        raise ValueError(
+                            f"detectron2 weights for '{k}' do not match "
+                            f"the built tower (set --vision_feature_dim "
+                            f"to the checkpoint's box-head width)")
+                grafted[k] = v
+            enc["vision_model"] = grafted
+            params["_vision_batch_stats"] = conv["batch_stats"]
+        else:
+            from .resnet import convert_torchvision_resnet
+            sd = load_torch_state_dict(vc)
+            p, stats = convert_torchvision_resnet(sd, cfg.vision_model)
+            enc["vision_model"] = p
+            params["_vision_batch_stats"] = stats
         params["encoder"] = enc
-        params["_vision_batch_stats"] = stats
         logger.info("loaded vision backbone weights from %s", vc)
     return params
 

@@ -15,12 +15,12 @@ a dynamic-shape, host-driven program. Here proposal generation is a
 class-agnostic objectness head over the FPN levels whose top-K peaks (one
 static ``lax.top_k`` across all levels) become fixed-aspect anchor boxes —
 no NMS, no dynamic shapes — so backbone, proposals, ROI-align, and the box
-head compile into ONE jit program. Features therefore come from weights
-trained/converted within this framework rather than the detectron2 zoo
-(the zoo's torch weights have no TPU-loadable equivalent in this image);
-the sidecar format written by `tools/extract_roi_features.py` is identical
-to the reference's `{img}_maskrcnn.npy` contract
-(`data/images.load_maskrcnn_sidecar`).
+head compile into ONE jit program. Detectron2 model-zoo checkpoints load
+via `models/convert.py::convert_detectron2_fpn` (backbone + FPN +
+RPN-objectness + box head; stage-parity-tested vs a torch
+re-implementation) through `--vision_model_checkpoint`; the sidecar format
+written by `tools/extract_roi_features.py` is identical to the reference's
+`{img}_maskrcnn.npy` contract (`data/images.load_maskrcnn_sidecar`).
 """
 
 from __future__ import annotations
@@ -109,11 +109,15 @@ class FPNVisionTower(nn.Module):
     num_regional_features: Optional[int] = None
     roi_size: int = 7
     pool_full_img: bool = True     # ref include_full_img_features avg-pool
+    # detectron2-zoo backbones are Caffe-style (stride on the bottleneck's
+    # 1x1 conv1); required for numeric parity with converted zoo weights
+    stride_in_1x1: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images, deterministic: bool = True):
         stages = ResNetBackbone(self.backbone_name, dtype=self.dtype,
+                                stride_in_1x1=self.stride_in_1x1,
                                 name="bottom_up")(
             images, deterministic=deterministic, return_stages=True)
         feats = FPN(self.fpn_channels, dtype=self.dtype,

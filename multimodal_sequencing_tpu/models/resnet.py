@@ -44,6 +44,10 @@ class BottleneckBlock(nn.Module):
     planes: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    # Caffe/detectron2-style blocks stride the 1x1 conv1; torchvision
+    # strides the 3x3 conv2. The detectron2 zoo FPN checkpoints are all
+    # stride_in_1x1, so weight interop needs this switch.
+    stride_in_1x1: bool = False
     EXPANSION = 4
 
     @nn.compact
@@ -53,12 +57,14 @@ class BottleneckBlock(nn.Module):
                                        dtype=self.dtype, name=name)
         width = self.planes
         out_ch = width * self.EXPANSION
+        s1, s2 = ((self.stride, 1) if self.stride_in_1x1
+                  else (1, self.stride))
         identity = x
         out = nn.relu(bn("bn1")(nn.Conv(
-            width, (1, 1), use_bias=False, dtype=self.dtype,
+            width, (1, 1), strides=s1, use_bias=False, dtype=self.dtype,
             name="conv1")(x)))
         out = nn.relu(bn("bn2")(nn.Conv(
-            width, (3, 3), strides=self.stride, padding=1, use_bias=False,
+            width, (3, 3), strides=s2, padding=1, use_bias=False,
             dtype=self.dtype, name="conv2")(out)))
         out = bn("bn3")(nn.Conv(out_ch, (1, 1), use_bias=False,
                                 dtype=self.dtype, name="conv3")(out))
@@ -90,6 +96,7 @@ class ResNetBackbone(nn.Module):
     builds on — the JAX analogue of detectron2's `bottom_up` outputs."""
     name_: str = "resnet50"
     dtype: jnp.dtype = jnp.float32
+    stride_in_1x1: bool = False    # detectron2/Caffe bottleneck stride
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, pool: bool = True,
@@ -106,9 +113,12 @@ class ResNetBackbone(nn.Module):
         for stage, (blocks, planes, stride) in enumerate(zip(
                 layers, (64, 128, 256, 512), (1, 2, 2, 2))):
             for b in range(blocks):
+                kw = ({"stride_in_1x1": self.stride_in_1x1}
+                      if block_cls is BottleneckBlock else {})
                 x = block_cls(planes, stride=stride if b == 0 else 1,
                               dtype=self.dtype,
-                              name=f"layer{stage+1}_{b}")(x, deterministic)
+                              name=f"layer{stage+1}_{b}", **kw)(
+                    x, deterministic)
             stages[f"c{stage+2}"] = x
         if return_stages:
             return stages

@@ -94,6 +94,7 @@ class VisualBERTEncoder(nn.Module):
                     backbone_name=backbone_from_name(cfg.vision_model),
                     num_regional_features=(k if inline_roi else None),
                     pool_full_img=cfg.include_full_img_features,
+                    feature_dim=cfg.vision_feature_dim or 2048,
                     dtype=ecfg.compute_dtype, name="vision_model")
                 if inline_roi:
                     feats, reg, _, _ = tower(nhwc,

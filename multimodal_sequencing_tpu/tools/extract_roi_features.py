@@ -46,8 +46,11 @@ def build_roi_extractor(num_regional_features: int,
     import jax.numpy as jnp
     from ..models.fpn import FPNVisionTower
 
+    # torchvision weights are stride-in-conv2; detectron2/own checkpoints
+    # use the tower's Caffe-style default
     tower = FPNVisionTower(backbone_name=backbone,
-                           num_regional_features=num_regional_features)
+                           num_regional_features=num_regional_features,
+                           stride_in_1x1=not resnet_torch_weights)
     sample = jnp.zeros((1, image_size[0], image_size[1], 3))
     variables = tower.init(jax.random.PRNGKey(seed), sample)
     if resnet_torch_weights:

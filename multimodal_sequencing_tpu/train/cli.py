@@ -63,6 +63,9 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
         choices=["RN50", "ViT-B/32"])
     add("--clip_visual_model_weights", type=str, default=None)
     add("--vision_model_checkpoint", type=str, default=None)
+    add("--vision_feature_dim", type=int, default=None,
+        help="box-head width of the FPN regional-feature tower "
+             "(detectron2-zoo checkpoints: 1024)")
     add("--freeze_vision_model", action="store_true")
     add("--multimodal_text_part", action="store_true")
     add("--multimodal_img_part", action="store_true")
@@ -228,6 +231,7 @@ def build_config(args):
         multimodal=args.multimodal,
         multimodal_model_type=args.multimodal_model_type,
         vision_model=args.vision_model,
+        vision_feature_dim=args.vision_feature_dim,
         clip_model_name=args.clip_model_name,
         freeze_vision_model=args.freeze_vision_model,
         multimodal_text_part=args.multimodal_text_part,
