@@ -1,0 +1,168 @@
+"""End-metric quality gate on synthetic data with a recoverable order.
+
+BASELINE.md's tau/PMR parity targets are unverifiable in this environment
+(no real WikiHow/RecipeQA ships), so this is the closest stand-in: a
+generator whose step TEXTS encode the step's rank (content-based, so the
+signal survives the dataset scrambling), and per-head tests that train a
+tiny model through the real CLI (`main_train`) and assert the FULL eval
+harness (`main_eval`: decode + metrics + output files) recovers the order
+with tau >= 0.9 on unseen dev articles. Loss-descent tests can't catch a
+decode or metric regression; these do.
+
+Run just these with `pytest -m quality`.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quality
+
+# rank-coded step texts: each rank has unique marker words a tiny hashed
+# vocabulary separates cleanly; the per-article filler varies so dev
+# articles are unseen COMBINATIONS while every token stays in the train
+# vocabulary (hash-vocab buckets never hit by training keep their random
+# init, so split-unique filler words would inject noise at eval)
+_RANK_WORDS = [
+    "alpha opening unbox prologue",
+    "bravo second assemble setup",
+    "charlie middle connect core",
+    "delta fourth adjust refine",
+    "echo final polish epilogue",
+]
+_FILLER_POOL = [
+    "widget", "gadget", "lever", "socket", "spanner", "grommet",
+    "flange", "washer", "pulley", "bracket", "hinge", "dowel",
+]
+
+
+@pytest.fixture(scope="module")
+def ordered_wikihow_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ordered_wikihow")
+    img_dir = root / "www.wikihow.com" / "images"
+    img_dir.mkdir(parents=True)
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    for split, n_articles in [("train", 24), ("dev", 6), ("test", 6)]:
+        records = []
+        for a in range(n_articles):
+            steps = []
+            for s in range(5):
+                img_name = f"{split}_{a}_{s}.png"
+                Image.fromarray(rng.randint(
+                    0, 255, (32, 32, 3), dtype=np.uint8)).save(
+                    img_dir / img_name)
+                steps.append({
+                    "step_headline": f"Headline {s}",
+                    "step_text": {
+                        "text": (f"{_RANK_WORDS[s]} "
+                                 f"{' '.join(rng.choice(_FILLER_POOL, 2))}."),
+                        "bullet_points": [],
+                    },
+                    "step_assets": {"image-large": f"images/{img_name}",
+                                    "image-src-1": ""},
+                })
+            records.append({
+                "url": f"https://wikihow.test/{split}/{a}",
+                "title": f"How to Order {a}",
+                "summary": "Rank-coded synthetic article.",
+                "sections": [{"steps": steps}],
+            })
+        with open(root / f"wikihow-{split}.json", "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+    return str(root)
+
+
+def _common(data_dir, out):
+    return [
+        "--model_name_or_path", "simple", "--model_size", "tiny",
+        "--data_dir", data_dir, "--max_seq_length", "96",
+        "--per_seq_max_length", "12", "--per_gpu_train_batch_size", "8",
+        "--per_gpu_eval_batch_size", "4", "--learning_rate", "3e-3",
+        "--warmup_steps", "5", "--logging_steps", "50",
+        "--seed", "0", "--output_dir", out,
+    ]
+
+
+def _train(data_dir, out, task, steps, extra=()):
+    from multimodal_sequencing_tpu.train.cli import main_train
+    state = main_train(_common(data_dir, out) + [
+        "--do_train", "--task_name", task, "--max_steps", str(steps),
+        "--save_steps", str(steps), "--num_train_epochs", "100",
+        "--overwrite_output_dir", *extra])
+    assert state is not None
+    return os.path.join(out, f"checkpoint-{steps}")
+
+
+def _eval(data_dir, out, method, ckpt_flags, extra=()):
+    from multimodal_sequencing_tpu.train.cli import main_eval
+    results = main_eval(_common(data_dir, out) + [
+        "--task_name", "wikihow_sort", "--sort_method", method,
+        "--eval_splits", "dev", *ckpt_flags, *extra])
+    return results["dev"]
+
+
+def _assert_quality(res, out, tau_min=0.9):
+    assert res["tau"] >= tau_min, res
+    assert res["partial_match"] >= 0.9, res
+    # the harness also wrote the per-story artifacts
+    orders = open(os.path.join(out, "output_order.txt")).read().split("\n")
+    assert len([o for o in orders if o.strip()]) == 6
+    assert os.path.exists(os.path.join(out, "all_predictions.csv"))
+
+
+def test_quality_pairwise_topological(ordered_wikihow_dir, tmp_path):
+    """One training, gated through BOTH the host decode and the
+    --device_decode fast path (on a well-trained model both must recover
+    the order).
+
+    Uses --order_criteria loose (ordered iff j>i): under the tight
+    default only adjacent pairs carry signal, so non-adjacent edges of
+    the decode tournament are tie-broken on noise — the gate would then
+    measure label-policy generalization, not harness correctness."""
+    out = str(tmp_path)
+    ckpt = _train(ordered_wikihow_dir, out, "wikihow_pairwise", 400,
+                  extra=["--order_criteria", "loose"])
+    res = _eval(ordered_wikihow_dir, out, "topological",
+                ["--model_name_or_path_1", ckpt])
+    _assert_quality(res, out)
+    res_dev = _eval(ordered_wikihow_dir, out, "topological",
+                    ["--model_name_or_path_1", ckpt],
+                    extra=["--device_decode"])
+    _assert_quality(res_dev, out)
+
+
+def test_quality_heatmap(ordered_wikihow_dir, tmp_path):
+    out = str(tmp_path)
+    ckpt = _train(ordered_wikihow_dir, out, "wikihow_hl_v1", 300,
+                  extra=["--hierarchical_version", "v1"])
+    res = _eval(ordered_wikihow_dir, out, "heat_map",
+                ["--model_name_or_path_1", ckpt],
+                extra=["--hierarchical_version", "v1"])
+    _assert_quality(res, out)
+
+
+def test_quality_pointer(ordered_wikihow_dir, tmp_path):
+    out = str(tmp_path)
+    ckpt = _train(ordered_wikihow_dir, out, "wikihow_pure_decode", 300,
+                  extra=["--hierarchical_version", "p1"])
+    res = _eval(ordered_wikihow_dir, out, "pure_decode",
+                ["--model_name_or_path_1", ckpt],
+                extra=["--hierarchical_version", "p1"])
+    _assert_quality(res, out)
+
+
+def test_quality_berson(ordered_wikihow_dir, tmp_path):
+    out = str(tmp_path)
+    ckpt = _train(ordered_wikihow_dir, out, "wikihow_sort", 200,
+                  extra=["--wrapper_model_type", "berson",
+                         "--beam_size", "4",
+                         "--per_gpu_train_batch_size", "4"])
+    res = _eval(ordered_wikihow_dir, out, "berson",
+                ["--model_name_or_path_1", ckpt],
+                extra=["--wrapper_model_type", "berson",
+                       "--beam_size", "4"])
+    _assert_quality(res, out)
