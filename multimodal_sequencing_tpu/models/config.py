@@ -117,6 +117,11 @@ class MultimodalConfig:
     # multimodal
     multimodal: bool = False
     multimodal_model_type: str = "clip"   # naive | visualbert | clip
+    # VisualBERT mmf bypass mode (visual_bert_mmf.py:64,114-140): run the
+    # full stack over text only, then one additional joint layer over
+    # [text_out; visual tokens]. Config-only in the reference too (no CLI
+    # flag sets it).
+    bypass_transformer: bool = False
     vision_model: str = "resnet50"
     # box-head width of the FPN tower (reference --vision_feature_dim /
     # vision_feature_dim, multimodal_utils.py:81); None = tower default

@@ -139,7 +139,7 @@ class VisualBERTEncoder(nn.Module):
                 name="visual_embeddings")(
                 feats, type_ids, deterministic)
 
-        if visn is not None:
+        if visn is not None and not cfg.bypass_transformer:
             joint = jnp.concatenate([lang, visn], axis=1)
             mask = jnp.concatenate(
                 [attention_mask,
@@ -149,6 +149,15 @@ class VisualBERTEncoder(nn.Module):
 
         for i in range(ecfg.num_hidden_layers):
             joint = TransformerLayer(ecfg, name=f"layer_{i}")(
+                joint, mask, deterministic)
+        if visn is not None and cfg.bypass_transformer:
+            # mmf bypass (visual_bert_mmf.py:114-140): the stack above saw
+            # text only; fuse the visual tokens through ONE extra layer
+            joint = jnp.concatenate([joint, visn], axis=1)
+            mask = jnp.concatenate(
+                [attention_mask,
+                 jnp.ones(visn.shape[:2], attention_mask.dtype)], axis=1)
+            joint = TransformerLayer(ecfg, name="additional_layer")(
                 joint, mask, deterministic)
         lang_out = joint[:, :lang_len]
         visn_out = joint[:, lang_len:] if visn is not None else None

@@ -107,3 +107,33 @@ def test_visualbert_encoder_and_sequencer():
     assert out["heatmap"].shape == (2, 3, 3)
     assert out["visual_output"].shape == (2, 3, enc.hidden_size)
     assert np.isfinite(np.asarray(out["heatmap"])).all()
+
+
+def test_visualbert_bypass_transformer():
+    """mmf bypass mode (visual_bert_mmf.py:64,114-140): text-only stack +
+    one additional joint layer; params gain the extra layer and the
+    output differs from the full joint path."""
+    from multimodal_sequencing_tpu.models.visualbert import (
+        VisualBERTEncoder)
+    enc = EncoderConfig.tiny(max_position_embeddings=100)
+    kw = dict(encoder=enc, multimodal=True,
+              multimodal_model_type="visualbert",
+              vision_model="resnet18", max_story_length=3,
+              max_seq_length=48, per_seq_max_length=12,
+              image_size=(32, 32))
+    rng = np.random.RandomState(1)
+    ids = jnp.asarray(rng.randint(5, 1000, (2, 48)).astype(np.int32))
+    imgs = jnp.asarray(rng.randn(2, 3, 3, 32, 32).astype(np.float32))
+    outs = {}
+    for bypass in (False, True):
+        cfg = MultimodalConfig(bypass_transformer=bypass, **kw)
+        m = VisualBERTEncoder(cfg)
+        vars_ = m.init(jax.random.PRNGKey(0), ids, images=imgs)
+        names = set(vars_["params"].keys())
+        assert ("additional_layer" in names) == bypass
+        (lang, visn, pooled), _ = m.apply(vars_, ids, images=imgs,
+                                          mutable=["batch_stats"])
+        assert lang.shape == (2, 48, enc.hidden_size)
+        assert visn.shape[0] == 2 and np.isfinite(np.asarray(pooled)).all()
+        outs[bypass] = np.asarray(lang)
+    assert not np.allclose(outs[False], outs[True])
