@@ -110,7 +110,13 @@ class FPNVisionTower(nn.Module):
     roi_size: int = 7
     pool_full_img: bool = True     # ref include_full_img_features avg-pool
     # detectron2-zoo backbones are Caffe-style (stride on the bottleneck's
-    # 1x1 conv1); required for numeric parity with converted zoo weights
+    # 1x1 conv1); required for numeric parity with converted zoo weights.
+    # NOTE: this default changed from False (torchvision-style) when the
+    # detectron2 converter landed — it changes forward semantics without
+    # changing parameter shapes, so a tower checkpoint trained under the
+    # old default must be reloaded with stride_in_1x1=False explicitly
+    # (extract_roi_features does this for torchvision weights via
+    # `not resnet_torch_weights`).
     stride_in_1x1: bool = True
     dtype: jnp.dtype = jnp.float32
 

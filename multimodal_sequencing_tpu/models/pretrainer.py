@@ -133,11 +133,16 @@ class SequencingPretrainer(nn.Module):
                     ids, attn, types, images=images,
                     deterministic=deterministic)
                 return lang_out, visn_out, pooled, None
-            out = self.encoder(ids, attn, types, images=images,
+            # naive: honor the text-only ablation (the model itself has no
+            # text_part guard), and split at the POST-shrink text length —
+            # under img_part the model truncates text to one token
+            imgs = None if cfg.multimodal_text_part else images
+            out = self.encoder(ids, attn, types, images=imgs,
                                deterministic=deterministic)
             seq = out["sequence_output"]
-            L = ids.shape[1]
-            return seq[:, :L], seq[:, L:], out["pooled_output"], None
+            L = 1 if cfg.multimodal_img_part else ids.shape[1]
+            visn = seq[:, L:] if imgs is not None else None
+            return seq[:, :L], visn, out["pooled_output"], None
 
         lang, attn2 = self.encoder.embed_language(ids, attn, types,
                                                   deterministic)

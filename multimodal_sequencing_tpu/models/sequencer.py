@@ -42,6 +42,15 @@ class SequencingModel(nn.Module):
             if cfg.multimodal_model_type == "visualbert":
                 from .visualbert import VisualBERTEncoder
                 self.encoder = VisualBERTEncoder(cfg, name="encoder")
+            elif cfg.multimodal_model_type in ("naive", "naive_model"):
+                # the reference's finetune trainer ships this construction
+                # commented out and falls back to a text-only AutoModel
+                # (train.py:1554-1573); the pretrainer builds it live
+                # (run_pretraining.py:1227-1234). Like the BERSON inner
+                # dispatch, this implements the evident intent.
+                from .naive_model import NaiveMultimodalModel
+                self.encoder = NaiveMultimodalModel(
+                    cfg, vision_name=cfg.vision_model, name="encoder")
             else:  # "clip" (primary); vilbert/uniter are unreachable in the
                 # reference too (missing dirs, SURVEY §0)
                 self.encoder = MultimodalEncoder(cfg, self.vision_cfg,
@@ -81,9 +90,22 @@ class SequencingModel(nn.Module):
         encoder ignores them (in the reference too, only the mmf
         VisualBERT path consumes the maskrcnn sidecars,
         `visual_bert_mmf.py:920-934`)."""
-        if self.cfg.multimodal:
+        cfg = self.cfg
+        if cfg.multimodal:
+            if cfg.multimodal_model_type in ("naive", "naive_model"):
+                # naive appends projected per-step image tokens after the
+                # text; split at the POST-shrink text length (img_part
+                # truncates text to one token inside the model)
+                imgs = None if cfg.multimodal_text_part else images
+                out = self.encoder(input_ids, attention_mask,
+                                   token_type_ids, images=imgs,
+                                   deterministic=deterministic)
+                seq = out["sequence_output"]
+                L = 1 if cfg.multimodal_img_part else input_ids.shape[1]
+                visn = seq[:, L:] if imgs is not None else None
+                return seq[:, :L], visn, out["pooled_output"]
             kwargs = dict(images=images, deterministic=deterministic)
-            if self.cfg.multimodal_model_type == "visualbert":
+            if cfg.multimodal_model_type == "visualbert":
                 kwargs["img_regional_features"] = img_regional_features
             return self.encoder(input_ids, attention_mask, token_type_ids,
                                 **kwargs)

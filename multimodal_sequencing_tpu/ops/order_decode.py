@@ -41,9 +41,10 @@ def pairs_to_heatmap(pair_scores: jax.Array, pair_idx: jax.Array,
     return hm.at[:, pair_idx[:, 0], pair_idx[:, 1]].set(pair_scores)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "mode"))
+@functools.partial(jax.jit, static_argnames=("n", "mode", "tail"))
 def exhaustive_order_decode(heatmap: jax.Array, n: int,
-                            mode: str = "chain_logprob") -> jax.Array:
+                            mode: str = "chain_logprob",
+                            tail: str = "none") -> jax.Array:
     """Exact MAP order over all n! permutations. heatmap: (B, N, N) with
     rows=parent, cols=child (N >= n; only the leading n x n block is used).
 
@@ -54,65 +55,55 @@ def exhaustive_order_decode(heatmap: jax.Array, n: int,
       allpairs      — sum_{i<j} log hm[p_i, p_j]: exact MAP linear order
         under independent pairwise precedence probabilities (the decode the
         reference's topological_inference approximates).
+
+    tail (chain modes; the host naive-beam family's closing term,
+    `utils/heatmap.py::_decode_naive_beam`, ref `train_utils.py:139-252`):
+      none — plain chain score.
+      v2   — + f(1 - hm[p_last, p_0])  (reversed-head correction).
+      v3   — chain terms score |hm| and + f(|hm[p_last, p_0]|).
+    f = log(x + eps) for chain_logprob, identity for chain_sum.
     Returns (B, n) best order per batch element.
     """
     perms = jnp.asarray(all_permutations(n))  # (K, n)
     hm = heatmap[:, :n, :n].astype(jnp.float32)
-    if mode in ("chain_logprob", "chain_sum"):
-        src = perms[:, :-1]  # (K, n-1)
-        dst = perms[:, 1:]
-        vals = hm[:, src, dst]  # (B, K, n-1)
-        if mode == "chain_logprob":
-            vals = jnp.log(vals + EPS)
-        scores = vals.sum(-1)
-    elif mode == "allpairs":
+    use_log = mode != "chain_sum"
+    if mode == "allpairs":
         iu, ju = np.triu_indices(n, k=1)
-        src = perms[:, iu]  # (K, P)
-        dst = perms[:, ju]
-        scores = jnp.log(hm[:, src, dst] + EPS).sum(-1)
+        terms = hm[:, perms[:, iu], perms[:, ju]]  # (B, K, P)
+    elif mode in ("chain_logprob", "chain_sum"):
+        hm_eff = jnp.abs(hm) if tail == "v3" else hm
+        terms = hm_eff[:, perms[:, :-1], perms[:, 1:]]  # (B, K, n-1)
     else:
         raise ValueError(f"unknown decode mode {mode}")
-    best = jnp.argmax(scores, axis=-1)  # (B,)
-    return perms[best]
+    tail_vals = None
+    if tail == "v2":
+        tail_vals = 1.0 - hm[:, perms[:, -1], perms[:, 0]]  # (B, K)
+    elif tail == "v3":
+        tail_vals = jnp.abs(hm[:, perms[:, -1], perms[:, 0]])
+    elif tail != "none":
+        raise ValueError(f"unknown decode tail {tail}")
+    if use_log:
+        terms = jnp.log(terms + EPS)
+        if tail_vals is not None:
+            tail_vals = jnp.log(tail_vals + EPS)
+    scores = terms.sum(-1)
+    if tail_vals is not None:
+        scores = scores + tail_vals
+    return perms[jnp.argmax(scores, axis=-1)]
 
 
-@functools.partial(jax.jit, static_argnames=("n", "decode_method"))
 def exhaustive_naive_decode(heatmap: jax.Array, n: int,
                             decode_method: str = "naive_v2_sum") -> jax.Array:
-    """Exact argmax over all n! orders under the EXACT scoring rule of the
-    host `naive`/`naive_v2`/`naive_v3` (± `_sum`) beam decoders
-    (`utils/heatmap.py::_decode_naive_beam`, reference
-    `train_utils.py:139-252`):
-
-      score(p) = sum_t f(hm[p_t, p_{t+1}]) + tail(p)
-      tail     = f(1 - hm[p_last, p_0])   for v2 (reversed-head correction)
-                 f(|hm[p_last, p_0]|)     for v3
-      f        = identity for `_sum`, log(x + eps) otherwise; v3 scores |hm|.
-
+    """Exact argmax under the host `naive`/`naive_v2`/`naive_v3` (± `_sum`)
+    beam scoring — a method-string adapter over `exhaustive_order_decode`.
     The host beam explores a pruned subset of permutations with this same
     score, so on any heatmap where the beam finds the global argmax (all
     clean total-order heatmaps in particular) the two decoders agree; the
     device path is strictly stronger elsewhere. Returns (B, n)."""
-    is_v2 = "v2" in decode_method
-    is_v3 = "v3" in decode_method
-    use_sum = "sum" in decode_method
-    perms = jnp.asarray(all_permutations(n))  # (K, n)
-    hm = heatmap[:, :n, :n].astype(jnp.float32)
-    hm_eff = jnp.abs(hm) if is_v3 else hm
-    terms = hm_eff[:, perms[:, :-1], perms[:, 1:]]  # (B, K, n-1)
-    tail = None
-    if is_v2:
-        tail = 1.0 - hm[:, perms[:, -1], perms[:, 0]]  # (B, K)
-    elif is_v3:
-        tail = jnp.abs(hm[:, perms[:, -1], perms[:, 0]])
-    if not use_sum:
-        terms = jnp.log(terms + EPS)
-        if tail is not None:
-            tail = jnp.log(tail + EPS)
-    scores = terms.sum(-1)
-    if tail is not None:
-        scores = scores + tail
-    return perms[jnp.argmax(scores, axis=-1)]
+    tail = ("v2" if "v2" in decode_method
+            else "v3" if "v3" in decode_method else "none")
+    mode = "chain_sum" if "sum" in decode_method else "chain_logprob"
+    return exhaustive_order_decode(heatmap, n, mode=mode, tail=tail)
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

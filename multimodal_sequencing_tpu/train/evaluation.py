@@ -280,17 +280,18 @@ class SortEvaluator:
         n = int(np.asarray(heatmaps).shape[-1])
         if getattr(cfg, "device_decode", False):
             from ..ops.order_decode import (
-                exhaustive_naive_decode, greedy_order_decode,
-                topological_decode_batch)
+                exhaustive_naive_decode, topological_decode_batch)
             hm = jnp.asarray(np.asarray(heatmaps, np.float32))
             if ("naive" in method and method != "super_naive"
                     and n <= self.DEVICE_DECODE_MAX_N):
                 out = exhaustive_naive_decode(hm, n, method)
             elif method == "topological":
                 out = topological_decode_batch(hm, n)
-            elif "naive" in method and method != "super_naive":
-                out = greedy_order_decode(hm, n)
-            else:  # super_naive / mst stay host-only
+            else:
+                # n > n!-budget for the naive family, or super_naive/mst:
+                # fall back to the host decoder — greedy_order_decode
+                # chains raw values and would silently change the
+                # v2/v3/_sum scoring semantics
                 out = None
             if out is not None:
                 return [[int(x) for x in row] for row in np.asarray(out)]

@@ -109,6 +109,35 @@ def test_visualbert_encoder_and_sequencer():
     assert np.isfinite(np.asarray(out["heatmap"])).all()
 
 
+def test_naive_sequencer_dispatch():
+    """--multimodal_model_type naive builds NaiveMultimodalModel as the
+    SequencingModel encoder (the reference finetune trainer ships this
+    commented out, train.py:1554-1573; implements the evident intent like
+    the BERSON inner dispatch) and feeds the heatmap head from the
+    language span."""
+    from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+    enc = EncoderConfig.tiny(max_position_embeddings=100)
+    cfg = MultimodalConfig(encoder=enc, multimodal=True,
+                           multimodal_model_type="naive",
+                           vision_model="resnet18", max_story_length=3,
+                           hierarchical_version="v1",
+                           max_seq_length=48, per_seq_max_length=12,
+                           image_size=(32, 32))
+    rng = np.random.RandomState(0)
+    ids = rng.randint(5, 1000, (2, 48)).astype(np.int32)
+    for s in range(3):
+        ids[:, s * 16] = cfg.cls_id
+    imgs = jnp.asarray(rng.randn(2, 3, 3, 32, 32).astype(np.float32))
+    model = SequencingModel(cfg)
+    vars_ = model.init(jax.random.PRNGKey(0), jnp.asarray(ids), images=imgs)
+    assert "img_project" in vars_["params"]["encoder"]  # naive, not clip
+    out, _ = model.apply(vars_, jnp.asarray(ids), images=imgs,
+                         mutable=["batch_stats"])
+    assert out["heatmap"].shape == (2, 3, 3)
+    assert out["visual_output"].shape == (2, 3, enc.hidden_size)
+    assert np.isfinite(np.asarray(out["heatmap"])).all()
+
+
 def test_visualbert_bypass_transformer():
     """mmf bypass mode (visual_bert_mmf.py:64,114-140): text-only stack +
     one additional joint layer; params gain the extra layer and the
