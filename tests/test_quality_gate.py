@@ -155,6 +155,49 @@ def test_quality_pointer(ordered_wikihow_dir, tmp_path):
     _assert_quality(res, out)
 
 
+@pytest.fixture(scope="module")
+def ordered_recipeqa_dir(tmp_path_factory):
+    """RecipeQA-schema twin of the WikiHow generator (texts/{split}.json,
+    data/recipeqa.py:52-88 layout) with rank-coded step bodies."""
+    root = tmp_path_factory.mktemp("ordered_recipeqa")
+    (root / "texts").mkdir()
+    img_dir = root / "images" / "images-qa" / "train" / "images-qa"
+    img_dir.mkdir(parents=True)
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    for split, n_recipes in [("train", 24), ("val", 6), ("test", 6)]:
+        data = []
+        for r in range(n_recipes):
+            rid = f"{split}-recipe_{r}"
+            context = []
+            for s in range(5):
+                Image.fromarray(rng.randint(
+                    0, 255, (32, 32, 3), dtype=np.uint8)).save(
+                    img_dir / f"{rid}_{s}_0.jpg")
+                context.append({
+                    "id": s,
+                    "body": (f"{_RANK_WORDS[s]} "
+                             f"{' '.join(rng.choice(_FILLER_POOL, 2))}."),
+                })
+            data.append({"recipe_id": rid, "context": context})
+        with open(root / "texts" / f"{split}.json", "w") as f:
+            json.dump({"version": 0.9, "data": data}, f)
+    return str(root)
+
+
+def test_quality_recipeqa_pairwise(ordered_recipeqa_dir, tmp_path):
+    """The second dataset family through the same gate (RecipeQA maps
+    'dev' to its val split)."""
+    out = str(tmp_path)
+    ckpt = _train(ordered_recipeqa_dir, out, "recipeqa_pairwise", 400,
+                  extra=["--order_criteria", "loose"])
+    from multimodal_sequencing_tpu.train.cli import main_eval
+    res = main_eval(_common(ordered_recipeqa_dir, out) + [
+        "--task_name", "recipeqa_sort", "--sort_method", "topological",
+        "--eval_splits", "dev", "--model_name_or_path_1", ckpt])
+    _assert_quality(res["dev"], out)
+
+
 def test_quality_berson(ordered_wikihow_dir, tmp_path):
     out = str(tmp_path)
     ckpt = _train(ordered_wikihow_dir, out, "wikihow_sort", 200,
