@@ -1,0 +1,231 @@
+"""GPipe-style pipeline parallelism for the text encoder stack.
+
+The reference has no pipeline parallelism (its models fit one GPU;
+SURVEY §2.4), so this is pure growth path: for configs whose layer stack
+outgrows one chip's HBM, the encoder's N transformer layers split into
+`n_stages` contiguous stages laid out over the mesh `model` axis (pipeline
+and tensor parallelism are mutually exclusive here — both consume that
+axis), and the batch streams through as `n_micro` microbatches on the
+classic GPipe schedule.
+
+TPU-native design: ONE jitted program. The schedule is a `lax.scan` over
+`n_micro + n_stages - 1` ticks inside a `shard_map` over the pipe axis;
+stage handoff is a single `lax.ppermute` of the activation block per tick
+(nearest-neighbor on ICI), and the backward schedule falls out of JAX
+autodiff through the scan+ppermute (reverse ppermute per tick) — no
+hand-written backward pass, no host orchestration. Bubble fraction is the
+textbook (n_stages-1)/(n_micro+n_stages-1).
+
+Identity: microbatching changes no math (per-sample layernorm/attention,
+equal-size microbatches), so the pipelined loss equals the sequential
+loss exactly — asserted by tests/test_pipeline.py against the replicated
+program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+PIPE_AXIS = MODEL_AXIS  # pipeline stages live on the mesh `model` axis
+
+
+def stack_layer_params(enc_params, num_layers: int, n_stages: int):
+    """{'layer_0': tree, ...} -> stacked tree with leading axis
+    (n_stages, layers_per_stage). Gradients flow back through the stack
+    to the per-layer trees via autodiff of this stacking."""
+    if num_layers % n_stages:
+        raise ValueError(
+            f"num_hidden_layers={num_layers} not divisible by "
+            f"pipeline stages={n_stages}")
+    lps = num_layers // n_stages
+    layers = [enc_params[f"layer_{i}"] for i in range(num_layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return jax.tree.map(
+        lambda x: x.reshape((n_stages, lps) + x.shape[1:]), stacked)
+
+
+def gpipe_layers(ecfg, stacked_params, x, attention_mask, rng,
+                 n_stages: int, n_micro: int, mesh,
+                 deterministic: bool = True):
+    """Run the layer stack over `x` (B, S, H) through the pipeline.
+
+    stacked_params: (n_stages, layers_per_stage, ...) tree.
+    attention_mask: (B, S). Returns (B, S, H).
+    """
+    from jax import shard_map
+    from ..models.encoder import TransformerLayer
+
+    b = x.shape[0]
+    if b % n_micro:
+        raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")
+    mb = b // n_micro
+    xm = x.reshape((n_micro, mb) + x.shape[1:])
+    maskm = attention_mask.reshape((n_micro, mb) + attention_mask.shape[1:])
+    layer = TransformerLayer(ecfg)
+
+    def stage_apply(params_lps, h, mask, key):
+        """Apply this stage's layers_per_stage layers sequentially."""
+        def body(carry, p):
+            h, k = carry
+            k, sub = jax.random.split(k)
+            y = layer.apply(
+                {"params": p}, h, mask, deterministic,
+                rngs=({} if deterministic else {"dropout": sub}))
+            return (y, k), None
+        body_fn = jax.checkpoint(body) if ecfg.remat else body
+        (h, _), _ = jax.lax.scan(body_fn, (h, key), params_lps)
+        return h
+
+    def pipelined(params_st, xm, maskm, rng):
+        # inside shard_map: params_st is THIS stage's (1, lps, ...) slice
+        params_lps = jax.tree.map(lambda p: p[0], params_st)
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        n_ticks = n_micro + n_stages - 1
+        mb_local = xm.shape[1]
+        state = jnp.zeros_like(xm[0])
+        outbuf = jnp.zeros_like(xm)
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def tick(carry, t):
+            state, outbuf = carry
+            # microbatch index this stage works on at tick t
+            m = jnp.clip(t - stage, 0, n_micro - 1)
+            inp = jnp.where(stage == 0, xm[jnp.minimum(t, n_micro - 1)],
+                            state)
+            key = jax.random.fold_in(
+                jax.random.fold_in(rng, t), stage)
+            y = stage_apply(params_lps, inp, maskm[m], key)
+            is_out = ((stage == n_stages - 1)
+                      & (t - stage >= 0) & (t - stage < n_micro))
+            outbuf = outbuf.at[m].set(
+                jnp.where(is_out, y, outbuf[m]))
+            state = jax.lax.ppermute(y, PIPE_AXIS, perm)
+            return (state, outbuf), None
+
+        (state, outbuf), _ = jax.lax.scan(
+            tick, (state, outbuf), jnp.arange(n_ticks))
+        # replicate the last stage's outputs across the pipe axis
+        out = jax.lax.psum(
+            jnp.where(stage == n_stages - 1, outbuf, 0.0), PIPE_AXIS)
+        return out
+
+    out = shard_map(
+        pipelined, mesh=mesh,
+        in_specs=(P(PIPE_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
+                  P()),
+        out_specs=P(None, DATA_AXIS),
+        check_vma=False)(stacked_params, xm, maskm, rng)
+    return out.reshape((b,) + out.shape[2:])
+
+
+def make_pipeline_train_step(cfg, mesh, n_stages: int, n_micro: int,
+                             donate: bool = True):
+    """Pipelined analogue of `train/steps.make_train_step` for TEXT
+    models (the multimodal towers keep dp/tp/fsdp). Supports every
+    hierarchical_version head; aux `hl_include_objectives` heads are out
+    of scope for the pipelined step (reject loudly)."""
+    from ..models.config import MultimodalConfig  # noqa: F401 (doc typing)
+    from ..models.encoder import Embeddings
+    from ..models.heads import (HeatmapHead, PointerHead,
+                                ClassificationHead, gather_step_cls)
+    from ..train.steps import compute_loss
+    from ..train.state import TrainState  # noqa: F401
+
+    if cfg.multimodal:
+        raise NotImplementedError(
+            "pipeline parallelism covers the text encoder stack; "
+            "multimodal towers train with dp/tp/fsdp")
+    if set(cfg.hl_include_objectives or []):
+        raise NotImplementedError(
+            "hl_include_objectives aux heads are not wired into the "
+            "pipelined step yet — drop --pipeline_parallel_size or the "
+            "aux objectives")
+    if mesh.shape[PIPE_AXIS] != n_stages:
+        raise ValueError(
+            f"mesh {PIPE_AXIS} axis is {mesh.shape[PIPE_AXIS]}, "
+            f"pipeline stages {n_stages} — build the mesh with "
+            f"n_model=pipeline_parallel_size")
+    ecfg = cfg.encoder
+    emb = Embeddings(ecfg)
+    v = cfg.hierarchical_version
+    if v == "v0":
+        head = ClassificationHead(
+            num_labels=cfg.num_labels, hidden_size=ecfg.hidden_size,
+            dropout=ecfg.hidden_dropout_prob, dtype=ecfg.compute_dtype)
+    elif v in ("v1", "v2", "v3"):
+        head = HeatmapHead(cfg)
+    elif v in ("p0", "p1"):
+        head = PointerHead(cfg)
+    else:
+        raise NotImplementedError(f"pipelined step: head {v}")
+
+    def forward(params, batch, dropout_rng, deterministic=False):
+        ids = batch["input_ids"]
+        attn = batch.get("attention_mask")
+        if attn is None:
+            attn = jnp.ones_like(ids)
+        enc_p = params["encoder"]
+        r_emb, r_layers, r_head = jax.random.split(dropout_rng, 3)
+        x = emb.apply({"params": enc_p["embeddings"]}, ids,
+                      batch.get("token_type_ids"),
+                      deterministic=deterministic,
+                      rngs=({} if deterministic else {"dropout": r_emb}))
+        stacked = stack_layer_params(enc_p, ecfg.num_hidden_layers,
+                                     n_stages)
+        seq = gpipe_layers(ecfg, stacked, x, attn, r_layers,
+                           n_stages, n_micro, mesh,
+                           deterministic=deterministic)
+        outputs = {"sequence_output": seq}
+        rngs = {} if deterministic else {"dropout": r_head}
+        if v == "v0":
+            pk = enc_p["pooler"]
+            pooled = jnp.tanh(
+                seq[:, 0] @ pk["kernel"].astype(seq.dtype)
+                + pk["bias"].astype(seq.dtype))
+            outputs["logits"] = head.apply(
+                {"params": params["cls_head"]}, pooled, deterministic,
+                rngs=rngs).astype(jnp.float32)
+        else:
+            reprs, present = gather_step_cls(
+                seq, ids, cfg.cls_id, cfg.max_story_length)
+            outputs["step_reprs"], outputs["present"] = reprs, present
+            if v in ("v1", "v2", "v3"):
+                outputs["heatmap"] = head.apply(
+                    {"params": params["heatmap_head"]}, reprs, present,
+                    deterministic, rngs=rngs)
+            else:
+                outputs["pointer_logits"] = head.apply(
+                    {"params": params["pointer_head"]}, reprs, present,
+                    batch["labels"].astype(jnp.int32), deterministic,
+                    rngs=rngs).astype(jnp.float32)
+        return outputs
+
+    def step(state, batch, dropout_rng):
+        dropout_rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_fn(params):
+            outputs = forward(params, batch, dropout_rng,
+                              deterministic=False)
+            loss, metrics = compute_loss(cfg, outputs, batch)
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    bs = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    jitted = jax.jit(
+        step,
+        in_shardings=(None, bs, rep),
+        donate_argnums=(0,) if donate else ())
+    # forward exposed for parity tests against the sequential program
+    return jitted, forward

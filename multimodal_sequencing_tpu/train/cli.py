@@ -157,6 +157,13 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--model_parallel_size", type=int, default=1,
         help="mesh model-axis size; >1 shards qkv/MLP kernels "
              "(Megatron-style TP, parallel/sharding_rules)")
+    add("--pipeline_parallel_size", type=int, default=1,
+        help="GPipe pipeline stages over the mesh model axis for the "
+             "text encoder stack (parallel/pipeline.py); mutually "
+             "exclusive with --model_parallel_size/--fsdp")
+    add("--pipeline_microbatches", type=int, default=2,
+        help="microbatches per step for --pipeline_parallel_size > 1 "
+             "(bubble fraction = (P-1)/(M+P-1))")
     add("--profile_dir", type=str, default=None,
         help="capture a 3-step jax.profiler trace (TensorBoard/Perfetto) "
              "into this directory once training is warm")

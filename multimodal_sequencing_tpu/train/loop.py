@@ -67,6 +67,16 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     output_dir, evaluate_during_training.
     """
     n_model = max(1, getattr(args, "model_parallel_size", 1))
+    pp = max(1, getattr(args, "pipeline_parallel_size", 1))
+    if pp > 1:
+        # pipeline stages live on the mesh `model` axis — mutually
+        # exclusive with TP/FSDP (parallel/pipeline.py)
+        if n_model > 1 or getattr(args, "fsdp", False):
+            raise ValueError(
+                "--pipeline_parallel_size is mutually exclusive with "
+                "--model_parallel_size/--fsdp (both consume the model "
+                "axis)")
+        n_model = pp
     mesh = mesh or make_mesh(n_model=n_model)
     n_data = int(np.prod(mesh.devices.shape)) // n_model
     batch_size = args.per_gpu_train_batch_size * n_data
@@ -112,13 +122,20 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
                         latest, start_step,
                         "loaded" if load_opt else "reset")
 
-    st_shardings = None
-    fsdp = bool(getattr(args, "fsdp", False))
-    if n_model > 1 or fsdp:
-        from ..parallel.sharding_rules import tree_shardings, shard_state
-        st_shardings = tree_shardings(state, mesh, fsdp=fsdp)
-        state = shard_state(state, mesh, fsdp=fsdp)
-    step_fn = make_train_step(cfg, mesh, state_shardings=st_shardings)
+    if pp > 1:
+        from ..parallel.pipeline import make_pipeline_train_step
+        step_fn, _ = make_pipeline_train_step(
+            cfg, mesh, n_stages=pp,
+            n_micro=max(1, getattr(args, "pipeline_microbatches", 2)))
+    else:
+        st_shardings = None
+        fsdp = bool(getattr(args, "fsdp", False))
+        if n_model > 1 or fsdp:
+            from ..parallel.sharding_rules import (tree_shardings,
+                                                  shard_state)
+            st_shardings = tree_shardings(state, mesh, fsdp=fsdp)
+            state = shard_state(state, mesh, fsdp=fsdp)
+        step_fn = make_train_step(cfg, mesh, state_shardings=st_shardings)
     rng = jax.random.PRNGKey(args.seed + 1)
 
     writer = MetricWriter(os.path.join(args.output_dir, "logs"))

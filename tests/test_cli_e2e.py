@@ -303,6 +303,18 @@ def test_train_with_model_parallel(wikihow_dir, tmp_path):
     assert state is not None
 
 
+def test_train_with_pipeline_parallel(wikihow_dir, tmp_path):
+    out = str(tmp_path / "pp")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--hierarchical_version", "v1", "--max_steps", "2",
+        "--save_steps", "0", "--pipeline_parallel_size", "2",
+        "--pipeline_microbatches", "2",
+        "--per_gpu_train_batch_size", "2", "--overwrite_output_dir",
+    ]))
+    assert state is not None
+
+
 def test_eval_head_and_sequential_abductive(wikihow_dir, tmp_path):
     out = str(tmp_path / "hsa")
     results = main_eval(_common(wikihow_dir, out, [

@@ -1,0 +1,106 @@
+"""GPipe pipeline parallelism (parallel/pipeline.py) on the virtual mesh.
+
+Identity property under test: microbatching + staged execution changes
+no math, so the pipelined forward equals the sequential SequencingModel
+forward exactly (deterministic), and the pipelined train step descends.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_sequencing_tpu.data import (
+    WikiHowGeneralProcessor, PureClassDataset, data_loader)
+from multimodal_sequencing_tpu.models.config import (
+    EncoderConfig, MultimodalConfig)
+from multimodal_sequencing_tpu.models.sequencer import SequencingModel
+from multimodal_sequencing_tpu.parallel.mesh import make_mesh, shard_batch
+from multimodal_sequencing_tpu.parallel.pipeline import (
+    make_pipeline_train_step, stack_layer_params)
+from multimodal_sequencing_tpu.train.state import (
+    make_train_state, make_optimizer)
+from multimodal_sequencing_tpu.train.steps import (
+    compute_loss, device_batch, make_train_step)
+
+
+def _setup(wikihow_dir, tokenizer, n_layers=2):
+    enc = EncoderConfig.tiny(max_position_embeddings=200,
+                             num_hidden_layers=n_layers)
+    cfg = MultimodalConfig(encoder=enc, hierarchical_version="v1",
+                           max_story_length=5, max_seq_length=96,
+                           per_seq_max_length=16, num_labels=5)
+    proc = WikiHowGeneralProcessor(data_dir=wikihow_dir)
+    ds = PureClassDataset(proc.get_train_examples(), tokenizer,
+                          max_length=96, per_seq_max_length=16, seed=0,
+                          decode=True)
+    batch = device_batch(next(data_loader(ds, batch_size=8)))
+    model = SequencingModel(cfg)
+    state = make_train_state(
+        model, jax.random.PRNGKey(0), batch,
+        tx=make_optimizer(learning_rate=1e-3, warmup_steps=2,
+                          total_steps=50))
+    return cfg, batch, model, state
+
+
+def test_stack_layer_params_roundtrip():
+    enc_params = {
+        "layer_0": {"w": jnp.ones((3, 3)) * 0},
+        "layer_1": {"w": jnp.ones((3, 3)) * 1},
+        "layer_2": {"w": jnp.ones((3, 3)) * 2},
+        "layer_3": {"w": jnp.ones((3, 3)) * 3},
+    }
+    stacked = stack_layer_params(enc_params, 4, 2)
+    assert stacked["w"].shape == (2, 2, 3, 3)
+    # stage 1's second layer is layer_3
+    assert float(stacked["w"][1, 1, 0, 0]) == 3.0
+    with pytest.raises(ValueError):
+        stack_layer_params(enc_params, 4, 3)
+
+
+def test_pipeline_forward_matches_sequential(wikihow_dir, tokenizer):
+    """pipe=2 x data=4 deterministic forward == the plain model forward
+    (same params, same batch) and the losses agree exactly."""
+    cfg, batch, model, state = _setup(wikihow_dir, tokenizer)
+    mesh = make_mesh(n_data=4, n_model=2)
+    step, forward = make_pipeline_train_step(cfg, mesh, n_stages=2,
+                                             n_micro=2, donate=False)
+    rng = jax.random.PRNGKey(3)
+
+    out_seq = model.apply({"params": state.params}, batch["input_ids"],
+                          batch.get("attention_mask"),
+                          batch.get("token_type_ids"), deterministic=True)
+    db = shard_batch(batch, mesh)
+    out_pp = jax.jit(
+        lambda p, b: forward(p, b, rng, deterministic=True))(
+        state.params, db)
+    np.testing.assert_allclose(np.asarray(out_pp["heatmap"]),
+                               np.asarray(out_seq["heatmap"]),
+                               rtol=2e-5, atol=2e-5)
+    l_seq, _ = compute_loss(cfg, out_seq, batch)
+    l_pp, _ = compute_loss(cfg, out_pp, db)
+    np.testing.assert_allclose(float(l_pp), float(l_seq), rtol=1e-5)
+
+
+def test_pipeline_train_step_descends(wikihow_dir, tokenizer):
+    cfg, batch, model, state = _setup(wikihow_dir, tokenizer)
+    mesh = make_mesh(n_data=4, n_model=2)
+    step, _ = make_pipeline_train_step(cfg, mesh, n_stages=2, n_micro=2)
+    db = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, db, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_pipeline_guards(wikihow_dir, tokenizer):
+    cfg, batch, model, state = _setup(wikihow_dir, tokenizer)
+    mesh = make_mesh(n_data=4, n_model=2)
+    with pytest.raises(ValueError):
+        make_pipeline_train_step(cfg, mesh, n_stages=4, n_micro=2)
+    cfg_mm = MultimodalConfig(encoder=cfg.encoder, multimodal=True)
+    with pytest.raises(NotImplementedError):
+        make_pipeline_train_step(cfg_mm, mesh, n_stages=2, n_micro=2)
