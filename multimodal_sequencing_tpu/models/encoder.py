@@ -49,20 +49,30 @@ class SelfAttention(nn.Module):
                         and cfg.attention_dropout_mode == "probs"
                         and cfg.attention_probs_dropout_prob > 0.0)
         if prob_dropout:
-            # reference semantics: softmax -> dropout(probs) -> @ v
-            # (HF BertSelfAttention)
-            import math as _math
-            qh, kh, vh = split(q), split(k), split(v)
-            logits = jnp.einsum(
-                "bhsd,bhtd->bhst", qh, kh,
-                preferred_element_type=jnp.float32
-            ) * (1.0 / _math.sqrt(d))
-            logits = logits + jnp.where(
-                mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
-            probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-            probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
-                probs, deterministic=False)
-            ctx = jnp.einsum("bhst,bhtd->bhsd", probs, vh)
+            from ..ops.attention import flash_eligible
+            if cfg.use_pallas_attention and flash_eligible(s):
+                # long sequences: probs dropout fused INTO the flash
+                # kernel (counter-based keep bits, regenerated in the
+                # Pallas backward) — same semantics, no S x S buffer
+                ctx = multihead_attention(
+                    split(q), split(k), split(v), mask=mask,
+                    dropout_p=cfg.attention_probs_dropout_prob,
+                    dropout_rng=self.make_rng("dropout"))
+            else:
+                # reference semantics: softmax -> dropout(probs) -> @ v
+                # (HF BertSelfAttention)
+                import math as _math
+                qh, kh, vh = split(q), split(k), split(v)
+                logits = jnp.einsum(
+                    "bhsd,bhtd->bhst", qh, kh,
+                    preferred_element_type=jnp.float32
+                ) * (1.0 / _math.sqrt(d))
+                logits = logits + jnp.where(
+                    mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
+                probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+                probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+                    probs, deterministic=False)
+                ctx = jnp.einsum("bhst,bhtd->bhsd", probs, vh)
         else:
             ctx = multihead_attention(
                 split(q), split(k), split(v), mask=mask,

@@ -46,6 +46,39 @@ except ImportError:  # pragma: no cover
 NEG_INF = -1e9  # matches the reference's -10000-style additive masks
 
 
+# ----- in-kernel dropout bits -------------------------------------------------
+# Counter-based keep-mask for attention-probability dropout inside the
+# flash kernels (HF-faithful "probs" mode at long sequences). A murmur3
+# finalizer over the (row, col) counter is used instead of pltpu's PRNG so
+# the same bits regenerate in the backward kernels AND in the Pallas
+# interpreter on CPU; statistical quality is ample for dropout.
+
+
+def _mix32(x):
+    """murmur3 fmix32 on int32 lanes (logical shifts, wrapping mults)."""
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    x = x * jnp.int32(-2048144789)      # 0x85EBCA6B
+    x = x ^ jax.lax.shift_right_logical(x, 13)
+    x = x * jnp.int32(-1028477387)      # 0xC2B2AE35
+    x = x ^ jax.lax.shift_right_logical(x, 16)
+    return x
+
+
+def _keep_bits(seed_bh, rows, cols, seq_len, keep_threshold):
+    """(len(rows), len(cols)) bool keep-mask; deterministic in
+    (seed_bh, absolute row, absolute col)."""
+    idx = (rows[:, None] * seq_len + cols[None, :]).astype(jnp.int32)
+    x = _mix32(idx * jnp.int32(-1640531527) + seed_bh)  # 0x9E3779B9
+    u = jnp.bitwise_and(x, jnp.int32(0x7FFFFFFF))
+    return u < jnp.int32(keep_threshold)
+
+
+def _seed_for_bh(seed, bh_index):
+    """Decorrelate batch*head rows so the (row*S+col) counter (int32) never
+    collides across rows of large batches."""
+    return _mix32(seed + (bh_index + 1) * jnp.int32(668265263))
+
+
 def attention_reference(q, k, v, mask: Optional[jax.Array] = None,
                         bias: Optional[jax.Array] = None):
     """XLA path. `mask`: (B, S) keep-mask over keys; `bias`: additive,
@@ -66,14 +99,24 @@ def attention_reference(q, k, v, mask: Optional[jax.Array] = None,
 # ----- forward kernel ---------------------------------------------------------
 
 
-def _flash_fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                      *, block_k: int, seq_len: int, scale: float):
+def _flash_fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
+                      lse_ref, *, block_k: int, seq_len: int, scale: float,
+                      dropout_p: float):
     """One (batch*head, q-block) program: online softmax over K/V blocks.
     mask_ref is the (1, 1, S) key keep-mask for this batch row; lse_ref
-    receives the per-q-row logsumexp (saved for the backward)."""
+    receives the per-q-row logsumexp (saved for the backward). With
+    dropout_p > 0 the HF "probs" dropout is fused in: the normalizer l
+    accumulates UNDROPPED probabilities (softmax semantics), the context
+    accumulates dropped/rescaled ones — out = (softmax(s)*M/keep) @ V."""
     q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
     block_q, d = q.shape
     num_kb = seq_len // block_k
+    if dropout_p > 0.0:
+        keep_prob = 1.0 - dropout_p
+        thresh = int(keep_prob * 2147483647)
+        seed_bh = _seed_for_bh(seed_ref[0, 0], pl.program_id(0))
+        rows = (pl.program_id(1) * block_q
+                + jax.lax.iota(jnp.int32, block_q))
 
     def body(kb, carry):
         acc, m_i, l_i = carry
@@ -88,8 +131,13 @@ def _flash_fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_i - m_new)
         l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
+        p_ctx = p
+        if dropout_p > 0.0:
+            cols = kb * block_k + jax.lax.iota(jnp.int32, block_k)
+            bits = _keep_bits(seed_bh, rows, cols, seq_len, thresh)
+            p_ctx = jnp.where(bits, p / (1.0 - dropout_p), 0.0)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p_ctx, v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         return acc_new, m_new, l_new
 
@@ -102,20 +150,24 @@ def _flash_fwd_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     lse_ref[0, 0] = (m_i + jnp.log(l_safe))[:, 0]
 
 
-def _fwd_pallas(q, k, v, mask, block_q, block_k, interpret):
+def _fwd_pallas(q, k, v, mask, block_q, block_k, interpret,
+                dropout_p=0.0, seed=None):
     b, h, s, d = q.shape
     bh = b * h
     mask3 = mask.astype(jnp.int32).reshape(b, 1, s)
     qf, kf, vf = (x.reshape(bh, s, d) for x in (q, k, v))
     scale = 1.0 / math.sqrt(d)
     grid = (bh, s // block_q)
+    seed_arr = jnp.reshape(
+        jnp.int32(0) if seed is None else seed.astype(jnp.int32), (1, 1))
     o, lse = pl.pallas_call(
         functools.partial(_flash_fwd_kernel, block_k=block_k, seq_len=s,
-                          scale=scale),
+                          scale=scale, dropout_p=dropout_p),
         out_shape=(jax.ShapeDtypeStruct((bh, s, d), q.dtype),
                    jax.ShapeDtypeStruct((bh, 1, s), jnp.float32)),
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0)),
             pl.BlockSpec((1, 1, s), lambda i, j: (i // h, 0, 0)),
             pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),
@@ -124,7 +176,7 @@ def _fwd_pallas(q, k, v, mask, block_q, block_k, interpret):
         out_specs=(pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
                    pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j))),
         interpret=interpret,
-    )(mask3, qf, kf, vf)
+    )(seed_arr, mask3, qf, kf, vf)
     return o.reshape(b, h, s, d), lse
 
 
@@ -150,17 +202,25 @@ def flash_attention(q, k, v, mask=None, block_q: int = 512,
 # ----- backward kernels -------------------------------------------------------
 
 
-def _flash_bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                         delta_ref, dq_ref,
-                         *, block_k: int, seq_len: int, scale: float):
+def _flash_bwd_dq_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
+                         lse_ref, delta_ref, dq_ref,
+                         *, block_k: int, seq_len: int, scale: float,
+                         dropout_p: float):
     """One (batch*head, q-block) program: dq = scale * ds @ K with
-    ds = p * (dO @ V^T - delta)."""
+    ds = p * (dp - delta). With dropout, dp = (dO @ V^T) * M/keep — and
+    delta = rowsum(dO*O) still equals rowsum(dp*p) because the dropped
+    context O absorbed the M/keep factor (see test_attention.py)."""
     q = q_ref[0].astype(jnp.float32)       # (block_q, d)
     do = do_ref[0].astype(jnp.float32)
     lse = lse_ref[0, 0][:, None]           # (block_q, 1)
     delta = delta_ref[0, 0][:, None]
     block_q, d = q.shape
     num_kb = seq_len // block_k
+    if dropout_p > 0.0:
+        thresh = int((1.0 - dropout_p) * 2147483647)
+        seed_bh = _seed_for_bh(seed_ref[0, 0], pl.program_id(0))
+        rows = (pl.program_id(1) * block_q
+                + jax.lax.iota(jnp.int32, block_q))
 
     def body(kb, acc):
         k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
@@ -172,6 +232,10 @@ def _flash_bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         p = jnp.where(keep[None, :], jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if dropout_p > 0.0:
+            cols = kb * block_k + jax.lax.iota(jnp.int32, block_k)
+            bits = _keep_bits(seed_bh, rows, cols, seq_len, thresh)
+            dp = jnp.where(bits, dp / (1.0 - dropout_p), 0.0)
         ds = p * (dp - delta)
         return acc + jax.lax.dot_general(
             ds, k_blk, (((1,), (0,)), ((), ())),
@@ -182,16 +246,22 @@ def _flash_bwd_dq_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
 
 
-def _flash_bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                          delta_ref, dk_ref, dv_ref,
-                          *, block_q: int, seq_len: int, scale: float):
-    """One (batch*head, kv-block) program: dv = P^T @ dO and
-    dk = scale * ds^T @ Q accumulated over q-blocks."""
+def _flash_bwd_dkv_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
+                          lse_ref, delta_ref, dk_ref, dv_ref,
+                          *, block_q: int, seq_len: int, scale: float,
+                          dropout_p: float):
+    """One (batch*head, kv-block) program: dv = D^T @ dO (D = dropped
+    probs) and dk = scale * ds^T @ Q accumulated over q-blocks."""
     k = k_ref[0].astype(jnp.float32)       # (block_k, d)
     v = v_ref[0].astype(jnp.float32)
     keep = (mask_ref[0, 0, :] != 0)[None, :]   # (1, block_k)
     block_k, d = k.shape
     num_qb = seq_len // block_q
+    if dropout_p > 0.0:
+        thresh = int((1.0 - dropout_p) * 2147483647)
+        seed_bh = _seed_for_bh(seed_ref[0, 0], pl.program_id(0))
+        cols = (pl.program_id(1) * block_k
+                + jax.lax.iota(jnp.int32, block_k))
 
     def body(qb, carry):
         dk_acc, dv_acc = carry
@@ -204,11 +274,17 @@ def _flash_bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
             q_blk, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)  # (block_q, block_k)
         p = jnp.where(keep, jnp.exp(s - lse), 0.0)
-        dv_new = dv_acc + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do_blk, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        p_ctx = p
+        if dropout_p > 0.0:
+            rows = qb * block_q + jax.lax.iota(jnp.int32, block_q)
+            bits = _keep_bits(seed_bh, rows, cols, seq_len, thresh)
+            p_ctx = jnp.where(bits, p / (1.0 - dropout_p), 0.0)
+            dp = jnp.where(bits, dp / (1.0 - dropout_p), 0.0)
+        dv_new = dv_acc + jax.lax.dot_general(
+            p_ctx, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
         dk_new = dk_acc + jax.lax.dot_general(
             ds, q_blk, (((0,), (0,)), ((), ())),
@@ -223,11 +299,14 @@ def _flash_bwd_dkv_kernel(mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_q", "block_k", "interpret"))
+                   static_argnames=("block_q", "block_k", "interpret",
+                                    "dropout_p"))
 def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = 512,
-                        block_k: int = 512, interpret: bool = False):
+                        block_k: int = 512, interpret: bool = False,
+                        dropout_p: float = 0.0, seed=None):
     """Pallas flash backward: (dq, dk, dv) from the saved forward output
-    `o` and per-row logsumexp `lse`."""
+    `o` and per-row logsumexp `lse`. With dropout_p > 0 the forward's
+    keep-mask regenerates from the same (seed, row, col) counters."""
     b, h, s, d = q.shape
     block_q = min(block_q, s)
     block_k = min(block_k, s)
@@ -235,11 +314,14 @@ def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = 512,
     mask3 = mask.astype(jnp.int32).reshape(b, 1, s)
     qf, kf, vf, of, gf = (x.reshape(bh, s, d) for x in (q, k, v, o, g))
     scale = 1.0 / math.sqrt(d)
+    seed_arr = jnp.reshape(
+        jnp.int32(0) if seed is None else seed.astype(jnp.int32), (1, 1))
     # delta_i = sum_d dO_i * O_i — one fused elementwise+reduce in XLA
     delta = jnp.sum(gf.astype(jnp.float32) * of.astype(jnp.float32),
                     -1).reshape(bh, 1, s)
 
     row_specs = [
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0)),              # seed
         pl.BlockSpec((1, 1, s), lambda i, j: (i // h, 0, 0)),   # mask
         pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),        # q
         pl.BlockSpec((1, s, d), lambda i, j: (i, 0, 0)),        # k
@@ -250,27 +332,27 @@ def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = 512,
     ]
 
     dq_specs = list(row_specs)
-    dq_specs[1] = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0))
-    dq_specs[4] = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0))
-    dq_specs[5] = pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j))
+    dq_specs[2] = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0))
+    dq_specs[5] = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0))
     dq_specs[6] = pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j))
+    dq_specs[7] = pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j))
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k, seq_len=s,
-                          scale=scale),
+                          scale=scale, dropout_p=dropout_p),
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         grid=(bh, s // block_q),
         in_specs=dq_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0)),
         interpret=interpret,
-    )(mask3, qf, kf, vf, gf, lse, delta)
+    )(seed_arr, mask3, qf, kf, vf, gf, lse, delta)
 
     dkv_specs = list(row_specs)
-    dkv_specs[0] = pl.BlockSpec((1, 1, block_k), lambda i, j: (i // h, 0, j))
-    dkv_specs[2] = pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0))
+    dkv_specs[1] = pl.BlockSpec((1, 1, block_k), lambda i, j: (i // h, 0, j))
     dkv_specs[3] = pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0))
+    dkv_specs[4] = pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, block_q=block_q,
-                          seq_len=s, scale=scale),
+                          seq_len=s, scale=scale, dropout_p=dropout_p),
         out_shape=(jax.ShapeDtypeStruct((bh, s, d), k.dtype),
                    jax.ShapeDtypeStruct((bh, s, d), v.dtype)),
         grid=(bh, s // block_k),
@@ -278,7 +360,7 @@ def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = 512,
         out_specs=(pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),
                    pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0))),
         interpret=interpret,
-    )(mask3, qf, kf, vf, gf, lse, delta)
+    )(seed_arr, mask3, qf, kf, vf, gf, lse, delta)
 
     shape = (b, h, s, d)
     return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
@@ -287,24 +369,30 @@ def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = 512,
 # ----- differentiable entry ---------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _flash_attention_ad(q, k, v, mask, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_attention_ad(q, k, v, mask, seed, dropout_p=0.0,
+                        interpret=False):
+    """Differentiable flash attention; dropout_p > 0 fuses HF-style
+    attention-probability dropout (seed: int32 scalar array)."""
     b, h, s, d = q.shape
-    o, _ = _fwd_pallas(q, k, v, mask, min(512, s), min(512, s), interpret)
+    o, _ = _fwd_pallas(q, k, v, mask, min(512, s), min(512, s), interpret,
+                       dropout_p=dropout_p, seed=seed)
     return o
 
 
-def _flash_fwd(q, k, v, mask, interpret):
+def _flash_fwd(q, k, v, mask, seed, dropout_p, interpret):
     b, h, s, d = q.shape
-    o, lse = _fwd_pallas(q, k, v, mask, min(512, s), min(512, s), interpret)
-    return o, (q, k, v, mask, o, lse)
+    o, lse = _fwd_pallas(q, k, v, mask, min(512, s), min(512, s), interpret,
+                         dropout_p=dropout_p, seed=seed)
+    return o, (q, k, v, mask, seed, o, lse)
 
 
-def _flash_bwd(interpret, res, g):
-    q, k, v, mask, o, lse = res
+def _flash_bwd(dropout_p, interpret, res, g):
+    q, k, v, mask, seed, o, lse = res
     dq, dk, dv = flash_attention_bwd(q, k, v, mask, o, lse, g,
-                                     interpret=interpret)
-    return dq, dk, dv, None
+                                     interpret=interpret,
+                                     dropout_p=dropout_p, seed=seed)
+    return dq, dk, dv, None, None
 
 
 _flash_attention_ad.defvjp(_flash_fwd, _flash_bwd)
@@ -320,15 +408,37 @@ def _use_pallas() -> bool:
 PALLAS_MIN_SEQ = 2048
 
 
+def flash_eligible(s: int) -> bool:
+    """True when the flash kernel would take this sequence length (used
+    by the encoder to route faithful probs-dropout training through the
+    fused kernel instead of materializing the S x S probs)."""
+    return _use_pallas() and s % 512 == 0 and s >= PALLAS_MIN_SEQ
+
+
 def multihead_attention(q, k, v, mask=None, bias=None,
-                        force_reference: bool = False):
+                        force_reference: bool = False,
+                        dropout_p: float = 0.0, dropout_rng=None):
     """Dispatch: Pallas flash kernel on TPU for long block-aligned
-    sequences with a plain key mask, XLA fused attention otherwise."""
+    sequences with a plain key mask, XLA fused attention otherwise.
+    dropout_p > 0 (training, HF 'probs' mode) fuses probability dropout
+    into the flash kernel; the XLA fallback materializes the probs and
+    applies jax.random dropout (caller's responsibility there)."""
     s = q.shape[2]
     if (not force_reference and _use_pallas() and bias is None
             and s % 512 == 0 and s >= PALLAS_MIN_SEQ
             and q.shape == k.shape == v.shape):
         if mask is None:
             mask = jnp.ones((q.shape[0], s), jnp.int32)
-        return _flash_attention_ad(q, k, v, mask)
+        if dropout_p > 0.0:
+            if dropout_rng is None:
+                raise ValueError("dropout_p > 0 needs dropout_rng")
+            seed = jax.random.randint(
+                dropout_rng, (), -2**31, 2**31 - 1, dtype=jnp.int32)
+            return _flash_attention_ad(q, k, v, mask, seed,
+                                       dropout_p=dropout_p)
+        return _flash_attention_ad(q, k, v, mask, jnp.int32(0))
+    if dropout_p > 0.0:
+        raise ValueError(
+            "multihead_attention only fuses dropout on the flash path; "
+            "apply probs dropout in the caller for the XLA path")
     return attention_reference(q, k, v, mask=mask, bias=bias)

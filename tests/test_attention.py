@@ -42,7 +42,7 @@ def test_flash_backward_matches_reference(masked):
         return jnp.sum(jnp.sin(out))  # non-trivial cotangents
 
     def flash_loss(q, k, v):
-        out = _flash_attention_ad(q, k, v, mask, True)
+        out = _flash_attention_ad(q, k, v, mask, jnp.int32(0), 0.0, True)
         return jnp.sum(jnp.sin(out))
 
     want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
@@ -59,7 +59,7 @@ def test_flash_backward_multiblock():
 
     def flash_loss(q, k, v):
         out = _flash_attention_ad(
-            q, k, v, mask, True)
+            q, k, v, mask, jnp.int32(0), 0.0, True)
         return jnp.sum(out * out)
 
     def ref_loss(q, k, v):
@@ -85,6 +85,90 @@ def test_flash_backward_multiblock():
     for got_g, w, name in zip((dq, dk, dv), want, "qkv"):
         np.testing.assert_allclose(
             np.asarray(got_g), np.asarray(w), atol=5e-5, rtol=5e-4,
+            err_msg=f"d{name} mismatch")
+
+
+def _host_keep_bits(seed, bh, s, dropout_p):
+    """numpy replica of the kernel's counter-based keep mask
+    (_mix32/_keep_bits/_seed_for_bh) for oracle comparisons."""
+    def mix32(x):
+        # uint32 wraparound is the point here (matches int32 lanes)
+        with np.errstate(over="ignore"):
+            x = np.asarray(x, np.uint32)
+            x ^= x >> np.uint32(16)
+            x = (x * np.uint32(0x85EBCA6B)) & np.uint32(0xFFFFFFFF)
+            x ^= x >> np.uint32(13)
+            x = (x * np.uint32(0xC2B2AE35)) & np.uint32(0xFFFFFFFF)
+            x ^= x >> np.uint32(16)
+        return x
+    with np.errstate(over="ignore"):
+        seed_bh = mix32(np.uint32(seed) + np.uint32(bh + 1)
+                        * np.uint32(668265263))
+    with np.errstate(over="ignore"):
+        rows = np.arange(s, dtype=np.uint32)
+        idx = rows[:, None] * np.uint32(s) + rows[None, :]
+        x = mix32((idx * np.uint32(0x9E3779B9) + seed_bh)
+                  & np.uint32(0xFFFFFFFF))
+    u = x & np.uint32(0x7FFFFFFF)
+    thresh = np.uint32(int((1.0 - dropout_p) * 2147483647))
+    return u < thresh  # (s, s) keep mask
+
+
+def _dropped_reference(q, k, v, mask, seed, dropout_p):
+    """HF probs-dropout attention with the kernel's exact keep bits."""
+    b, h, s, d = q.shape
+    logits = np.einsum("bhsd,bhtd->bhst", np.asarray(q, np.float64),
+                       np.asarray(k, np.float64)) / np.sqrt(d)
+    logits = np.where(np.asarray(mask)[:, None, None, :] != 0, logits,
+                      -1e9)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    out = np.zeros((b, h, s, d))
+    for bi in range(b):
+        for hi in range(h):
+            bits = _host_keep_bits(seed, bi * h + hi, s, dropout_p)
+            dropped = probs[bi, hi] * bits / (1.0 - dropout_p)
+            out[bi, hi] = dropped @ np.asarray(v, np.float64)[bi, hi]
+    return out
+
+
+def test_flash_dropout_forward_matches_oracle():
+    q, k, v, mask = _inputs(b=2, h=2, s=128, d=16, seed=5)
+    seed, p = 12345, 0.25
+    got = _flash_attention_ad(q, k, v, mask, jnp.int32(seed), p, True)
+    want = _dropped_reference(q, k, v, mask, seed, p)
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-5, rtol=3e-5)
+    # and the keep rate is near 1-p
+    bits = _host_keep_bits(seed, 0, 512, p)
+    assert abs(bits.mean() - 0.75) < 0.01
+
+
+def test_flash_dropout_backward_matches_oracle():
+    q, k, v, mask = _inputs(b=1, h=2, s=128, d=16, seed=6)
+    seed, p = 777, 0.2
+
+    def flash_loss(q, k, v):
+        out = _flash_attention_ad(q, k, v, mask, jnp.int32(seed), p, True)
+        return jnp.sum(jnp.sin(out))
+
+    got = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+
+    bits = np.stack([_host_keep_bits(seed, bh, 128, p) for bh in range(2)]
+                    )[None]  # (1, 2, s, s)
+
+    def ref_loss(q, k, v):
+        d = q.shape[-1]
+        logits = jnp.einsum("bhsd,bhtd->bhst", q, k) / np.sqrt(d)
+        logits = jnp.where(mask[:, None, None, :] != 0, logits, -1e9)
+        probs = jax.nn.softmax(logits, -1)
+        dropped = probs * bits / (1.0 - p)
+        out = jnp.einsum("bhst,bhtd->bhsd", dropped, v)
+        return jnp.sum(jnp.sin(out))
+
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=5e-5, rtol=5e-4,
             err_msg=f"d{name} mismatch")
 
 
