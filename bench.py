@@ -286,19 +286,38 @@ def main():
     n_dev = len(jax.devices())
     mode = os.environ.get("BENCH_MODE", "all")
 
-    results = {}
+    # Fault isolation per mode: a tunnel drop or OOM in one workload must
+    # not lose the numbers already measured — the JSON line still prints
+    # with whatever completed, plus an `errors` field.
+    results, errors = {}, {}
+
+    def _try(name, fn):
+        try:
+            results[name] = fn()
+        except Exception as e:  # noqa: BLE001 — report, don't die
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            _log(f"{name} FAILED: {errors[name]}")
+
     if mode in ("all", "text"):
-        results["text"] = bench_text(n_dev)           # HF-faithful: primary
-        results["text_fast"] = bench_text(n_dev, fast=True)
+        _try("text", lambda: bench_text(n_dev))       # HF-faithful: primary
+        _try("text_fast", lambda: bench_text(n_dev, fast=True))
     if mode in ("all", "multimodal"):
-        results["multimodal"] = bench_multimodal(n_dev)
+        _try("multimodal", lambda: bench_multimodal(n_dev))
     if mode in ("all", "berson"):
-        results["berson"] = bench_berson(n_dev)
+        _try("berson", lambda: bench_berson(n_dev))
+    if not results:
+        print(json.dumps({"metric": "error", "value": 0,
+                          "unit": "stories/s/chip", "errors": errors}))
+        return
 
     if "text" in results:
         primary_name = "train_stories_per_sec_per_chip"
         primary = results["text"]["stories_per_sec_per_chip"]
         primary_mfu = results["text"]["mfu"]
+    elif "text_fast" in results:
+        primary_name = "fast_train_stories_per_sec_per_chip"
+        primary = results["text_fast"]["stories_per_sec_per_chip"]
+        primary_mfu = results["text_fast"]["mfu"]
     elif "multimodal" in results:
         primary_name = "multimodal_train_stories_per_sec_per_chip"
         primary = results["multimodal"]["stories_per_sec_per_chip"]
@@ -354,6 +373,8 @@ def main():
         line["berson_train_mfu"] = results["berson"]["train_mfu"]
         line["berson_beam16_stories_per_sec"] = (
             results["berson"]["beam16_stories_per_sec"])
+    if errors:
+        line["errors"] = errors
     print(json.dumps(line))
 
 
