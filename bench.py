@@ -310,6 +310,7 @@ def main():
                           "unit": "stories/s/chip", "errors": errors}))
         return
 
+    semantics = "hf_faithful_cli_default"
     if "text" in results:
         primary_name = "train_stories_per_sec_per_chip"
         primary = results["text"]["stories_per_sec_per_chip"]
@@ -318,6 +319,7 @@ def main():
         primary_name = "fast_train_stories_per_sec_per_chip"
         primary = results["text_fast"]["stories_per_sec_per_chip"]
         primary_mfu = results["text_fast"]["mfu"]
+        semantics = "fast_tanh_gelu_folded_dropout"
     elif "multimodal" in results:
         primary_name = "multimodal_train_stories_per_sec_per_chip"
         primary = results["multimodal"]["stories_per_sec_per_chip"]
@@ -348,9 +350,9 @@ def main():
         "value": primary,
         "unit": "stories/s/chip",
         # primary metric uses the CLI-default training semantics
-        # (erf GELU + probs attention dropout); *_fast fields are the
-        # tanh-GELU/folded-dropout variant
-        "semantics": "hf_faithful_cli_default",
+        # (erf GELU + probs attention dropout) unless the faithful mode
+        # failed and the *_fast variant is the fallback primary
+        "semantics": semantics,
         # vs a DERIVED A100 anchor — the reference publishes no numbers
         "vs_baseline": round(primary / anchor, 2),
         "baseline_is_estimate": True,

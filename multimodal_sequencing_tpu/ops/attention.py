@@ -424,8 +424,7 @@ def multihead_attention(q, k, v, mask=None, bias=None,
     into the flash kernel; the XLA fallback materializes the probs and
     applies jax.random dropout (caller's responsibility there)."""
     s = q.shape[2]
-    if (not force_reference and _use_pallas() and bias is None
-            and s % 512 == 0 and s >= PALLAS_MIN_SEQ
+    if (not force_reference and flash_eligible(s) and bias is None
             and q.shape == k.shape == v.shape):
         if mask is None:
             mask = jnp.ones((q.shape[0], s), jnp.int32)

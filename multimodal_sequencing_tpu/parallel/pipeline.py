@@ -24,11 +24,9 @@ program.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS
@@ -66,6 +64,12 @@ def gpipe_layers(ecfg, stacked_params, x, attention_mask, rng,
     if b % n_micro:
         raise ValueError(f"batch {b} not divisible by n_micro={n_micro}")
     mb = b // n_micro
+    n_data = mesh.shape[DATA_AXIS]
+    if mb % n_data:
+        raise ValueError(
+            f"microbatch size {mb} (= batch {b} / n_micro {n_micro}) must "
+            f"divide over the {n_data}-way data axis — raise the batch or "
+            f"lower --pipeline_microbatches")
     xm = x.reshape((n_micro, mb) + x.shape[1:])
     maskm = attention_mask.reshape((n_micro, mb) + attention_mask.shape[1:])
     layer = TransformerLayer(ecfg)
@@ -87,8 +91,10 @@ def gpipe_layers(ecfg, stacked_params, x, attention_mask, rng,
         # inside shard_map: params_st is THIS stage's (1, lps, ...) slice
         params_lps = jax.tree.map(lambda p: p[0], params_st)
         stage = jax.lax.axis_index(PIPE_AXIS)
+        # decorrelate dropout across data shards: each shard holds
+        # different samples, so bits must differ per data coordinate
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         n_ticks = n_micro + n_stages - 1
-        mb_local = xm.shape[1]
         state = jnp.zeros_like(xm[0])
         outbuf = jnp.zeros_like(xm)
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
@@ -208,6 +214,13 @@ def make_pipeline_train_step(cfg, mesh, n_stages: int, n_micro: int,
         return outputs
 
     def step(state, batch, dropout_rng):
+        if state.model_state:
+            # mutable collections (batch_stats etc.) are not threaded
+            # through the pipelined apply; the text encoder has none —
+            # fail loudly rather than silently freeze them
+            raise NotImplementedError(
+                "pipelined step does not thread mutable model_state "
+                f"collections: {list(state.model_state)}")
         dropout_rng = jax.random.fold_in(dropout_rng, state.step)
 
         def loss_fn(params):
@@ -218,6 +231,7 @@ def make_pipeline_train_step(cfg, mesh, n_stages: int, n_micro: int,
 
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
         new_state = state.apply_gradients(grads)
         return new_state, metrics
 

@@ -667,6 +667,11 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     from ..data.datasets import data_loader
     from ..parallel.mesh import make_mesh, shard_batch
 
+    if max(1, getattr(args, "pipeline_parallel_size", 1)) > 1:
+        raise NotImplementedError(
+            "--pipeline_parallel_size pipelines the plain text encoder "
+            "stack (run_finetune); the BERSON wrapper trains with "
+            "dp/tp/sp/fsdp")
     n_model = max(1, getattr(args, "model_parallel_size", 1))
     mesh = make_mesh(n_model=n_model)
     n_data = int(np.prod(mesh.devices.shape)) // n_model

@@ -291,6 +291,10 @@ def run_pretraining(cfg, model, train_dataset, args, *, tokenizer,
     from .state import TrainState
     from ..parallel.mesh import DATA_AXIS
 
+    if max(1, getattr(args, "pipeline_parallel_size", 1)) > 1:
+        raise NotImplementedError(
+            "--pipeline_parallel_size pipelines the finetune text "
+            "encoder stack (run_finetune); pretraining trains with dp")
     mesh = mesh or make_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
     batch_size = args.per_gpu_train_batch_size * n_dev
