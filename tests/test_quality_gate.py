@@ -198,6 +198,12 @@ def test_quality_recipeqa_pairwise(ordered_recipeqa_dir, tmp_path):
     _assert_quality(res["dev"], out)
 
 
+# NOTE: no pure_class gate — the 120-way arrangement-classification task
+# underfits tiny models in test-budget time (measured: train tau 0.19
+# after 1000 steps at batch 16); the pure_class decode path is covered by
+# unit golden vectors and the CLI e2e eval test instead.
+
+
 def test_quality_berson(ordered_wikihow_dir, tmp_path):
     out = str(tmp_path)
     ckpt = _train(ordered_wikihow_dir, out, "wikihow_sort", 200,
