@@ -25,7 +25,7 @@ written by `tools/extract_roi_features.py` is identical to the reference's
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

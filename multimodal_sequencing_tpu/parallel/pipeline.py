@@ -137,12 +137,10 @@ def make_pipeline_train_step(cfg, mesh, n_stages: int, n_micro: int,
     models (the multimodal towers keep dp/tp/fsdp). Supports every
     hierarchical_version head; aux `hl_include_objectives` heads are out
     of scope for the pipelined step (reject loudly)."""
-    from ..models.config import MultimodalConfig  # noqa: F401 (doc typing)
     from ..models.encoder import Embeddings
     from ..models.heads import (HeatmapHead, PointerHead,
                                 ClassificationHead, gather_step_cls)
     from ..train.steps import compute_loss
-    from ..train.state import TrainState  # noqa: F401
 
     if cfg.multimodal:
         raise NotImplementedError(
