@@ -143,6 +143,28 @@ def test_quality_heatmap(ordered_wikihow_dir, tmp_path):
                 ["--model_name_or_path_1", ckpt],
                 extra=["--hierarchical_version", "v1"])
     _assert_quality(res, out)
+    # same checkpoint through the on-device exhaustive decoder
+    res_dev = _eval(ordered_wikihow_dir, out, "heat_map",
+                    ["--model_name_or_path_1", ckpt],
+                    extra=["--hierarchical_version", "v1",
+                           "--device_decode"])
+    _assert_quality(res_dev, out)
+
+
+def test_quality_head_and_topological(ordered_wikihow_dir, tmp_path):
+    """Composite two-checkpoint method: a head-prediction model picks the
+    first step, a pairwise model orders the rest — exercises the 1-3
+    checkpoint role plumbing (cli.py role map) at end-metric level."""
+    out = str(tmp_path)
+    head_ckpt = _train(ordered_wikihow_dir, str(tmp_path / "head"),
+                       "wikihow_head", 300)
+    pair_ckpt = _train(ordered_wikihow_dir, str(tmp_path / "pair"),
+                       "wikihow_pairwise", 400,
+                       extra=["--order_criteria", "loose"])
+    res = _eval(ordered_wikihow_dir, out, "head_and_topological",
+                ["--model_name_or_path_1", head_ckpt,
+                 "--model_name_or_path_2", pair_ckpt])
+    _assert_quality(res, out)
 
 
 def test_quality_pointer(ordered_wikihow_dir, tmp_path):
