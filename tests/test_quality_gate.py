@@ -220,6 +220,26 @@ def test_quality_recipeqa_pairwise(ordered_recipeqa_dir, tmp_path):
     _assert_quality(res["dev"], out)
 
 
+def test_quality_pretrain_mlm_perplexity(ordered_wikihow_dir, tmp_path):
+    """Pretraining end-metric: dev masked-LM perplexity after a short run
+    must be far below the untrained ~vocab-size baseline (the corpus is
+    rank-coded and low-entropy). Drives the real pretraining CLI
+    (main_pretrain --do_eval -> eval_results_pretrain.txt)."""
+    from multimodal_sequencing_tpu.train.cli import main_pretrain
+    out = str(tmp_path)
+    main_pretrain(_common(ordered_wikihow_dir, out) + [
+        "--do_train", "--do_eval", "--task_name", "wikihow_pretrain",
+        "--max_steps", "100", "--save_steps", "0",
+        "--num_train_epochs", "100", "--overwrite_output_dir"])
+    res = {}
+    with open(os.path.join(out, "eval_results_pretrain.txt")) as f:
+        for line in f:
+            k, _, v = line.strip().partition(" = ")
+            res[k] = float(v)
+    assert res["eval_perplexity"] < 50.0, res
+    assert np.isfinite(res["eval_mlm"]), res
+
+
 # NOTE: no pure_class gate — the 120-way arrangement-classification task
 # underfits tiny models in test-budget time (measured: train tau 0.19
 # after 1000 steps at batch 16); the pure_class decode path is covered by
