@@ -198,6 +198,13 @@ class BersonOrdering(nn.Module):
     def setup(self):
         cfg = self.cfg
         h = cfg.encoder.hidden_size
+        if cfg.multimodal and cfg.multimodal_img_part:
+            # BERSON's hierarchy scores the full packed text pair
+            # (top_vec (B, P, L, H)); an image-only stream has no text
+            # span to rank — reject rather than crash in reshape
+            raise NotImplementedError(
+                "BERSON requires the text stream; --multimodal_img_part "
+                "is incompatible with the wrapper")
         if cfg.multimodal:
             # inner-encoder dispatch per multimodal_model_type, mirroring
             # `modeling_bert.py:1253-1306` (visualbert / clip / naive; the
@@ -248,7 +255,9 @@ class BersonOrdering(nn.Module):
         attn = flat(batch["attention_mask"])
         types = flat(batch["token_type_ids"])
         visn_cls = None
-        if cfg.multimodal and batch.get("images") is not None:
+        # text_part: the text-only ablation must not feed the vision tower
+        if (cfg.multimodal and not cfg.multimodal_text_part
+                and batch.get("images") is not None):
             # per-pair image pairs: (B, N, C, H, W) -> (B, P, 2, C, H, W)
             pairs = jnp.asarray(berson_pairs(n))
             imgs = batch["images"][:, pairs]            # (B, P, 2, C, H, W)

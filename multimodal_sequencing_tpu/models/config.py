@@ -127,6 +127,12 @@ class MultimodalConfig:
     # vision_feature_dim, multimodal_utils.py:81); None = tower default
     # (2048); detectron2-zoo checkpoints use 1024
     vision_feature_dim: Optional[int] = None
+    # FPN bottleneck stride placement: None = tower default (True,
+    # detectron2/Caffe-style stride on the 1x1 conv1 — required for zoo
+    # weight parity). Set False to reload tower checkpoints trained under
+    # the old torchvision-style default (stride on the 3x3 conv2): the
+    # flip changes forward semantics without changing parameter shapes.
+    vision_stride_in_1x1: Optional[bool] = None
     clip_model_name: str = "RN50"         # RN50 | ViT-B/32
     visual_feat_dim: int = 2048           # RN50 grid channels
     visual_pos_dim: int = 4

@@ -20,6 +20,23 @@ from .fpn import build_pooled_vision_tower
 from .heads import ClassificationHead
 
 
+def naive_encode_parts(cfg, encoder, ids, attn, types, images,
+                       deterministic):
+    """Run the naive model and split (lang, visn, pooled) honoring the
+    text_part/img_part ablations — the model itself has no text_part
+    guard, and under img_part it truncates text to ONE token, so the
+    split uses the post-shrink length. Shared by SequencingModel and
+    SequencingPretrainer (BERSON needs the full text span and keeps its
+    own pair handling)."""
+    imgs = None if cfg.multimodal_text_part else images
+    out = encoder(ids, attn, types, images=imgs,
+                  deterministic=deterministic)
+    seq = out["sequence_output"]
+    L = 1 if cfg.multimodal_img_part else ids.shape[1]
+    visn = seq[:, L:] if imgs is not None else None
+    return seq[:, :L], visn, out["pooled_output"]
+
+
 class NaiveMultimodalModel(nn.Module):
     cfg: MultimodalConfig
     vision_name: str = "resnet50"

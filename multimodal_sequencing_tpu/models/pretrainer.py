@@ -113,6 +113,17 @@ class SequencingPretrainer(nn.Module):
         attn = batch.get("attention_mask")
         types = batch.get("token_type_ids")
         images = batch.get("images")
+        wants_surgery = patch_perm is not None or mask_idx is not None
+        if wants_surgery and (not cfg.multimodal
+                              or cfg.multimodal_text_part
+                              or images is None):
+            # patch objectives corrupt the folded visual stream; with no
+            # visual stream the planner's 'corrupted' labels would train
+            # the head on noise — fail loudly, never silently skip
+            raise ValueError(
+                "patch-based pretraining objectives need the folded CLIP "
+                "visual stream (multimodal clip config with images; "
+                "multimodal_text_part off)")
         if not cfg.multimodal:
             seq, pooled = self.encoder(ids, attn, types,
                                        deterministic=deterministic)
@@ -133,16 +144,11 @@ class SequencingPretrainer(nn.Module):
                     ids, attn, types, images=images,
                     deterministic=deterministic)
                 return lang_out, visn_out, pooled, None
-            # naive: honor the text-only ablation (the model itself has no
-            # text_part guard), and split at the POST-shrink text length —
-            # under img_part the model truncates text to one token
-            imgs = None if cfg.multimodal_text_part else images
-            out = self.encoder(ids, attn, types, images=imgs,
-                               deterministic=deterministic)
-            seq = out["sequence_output"]
-            L = 1 if cfg.multimodal_img_part else ids.shape[1]
-            visn = seq[:, L:] if imgs is not None else None
-            return seq[:, :L], visn, out["pooled_output"], None
+            from .naive_model import naive_encode_parts
+            lang, visn, pooled = naive_encode_parts(
+                cfg, self.encoder, ids, attn, types, images,
+                deterministic)
+            return lang, visn, pooled, None
 
         lang, attn2 = self.encoder.embed_language(ids, attn, types,
                                                   deterministic)

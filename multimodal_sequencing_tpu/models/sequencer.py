@@ -93,17 +93,10 @@ class SequencingModel(nn.Module):
         cfg = self.cfg
         if cfg.multimodal:
             if cfg.multimodal_model_type in ("naive", "naive_model"):
-                # naive appends projected per-step image tokens after the
-                # text; split at the POST-shrink text length (img_part
-                # truncates text to one token inside the model)
-                imgs = None if cfg.multimodal_text_part else images
-                out = self.encoder(input_ids, attention_mask,
-                                   token_type_ids, images=imgs,
-                                   deterministic=deterministic)
-                seq = out["sequence_output"]
-                L = 1 if cfg.multimodal_img_part else input_ids.shape[1]
-                visn = seq[:, L:] if imgs is not None else None
-                return seq[:, :L], visn, out["pooled_output"]
+                from .naive_model import naive_encode_parts
+                return naive_encode_parts(
+                    cfg, self.encoder, input_ids, attention_mask,
+                    token_type_ids, images, deterministic)
             kwargs = dict(images=images, deterministic=deterministic)
             if cfg.multimodal_model_type == "visualbert":
                 kwargs["img_regional_features"] = img_regional_features

@@ -90,12 +90,16 @@ class VisualBERTEncoder(nn.Module):
                 if inline_roi and not cfg.include_full_img_features:
                     k = k + 1  # top ROI doubles as the image feature
                 from .fpn import backbone_from_name
+                tower_kw = {}
+                if cfg.vision_stride_in_1x1 is not None:
+                    tower_kw["stride_in_1x1"] = cfg.vision_stride_in_1x1
                 tower = FPNVisionTower(
                     backbone_name=backbone_from_name(cfg.vision_model),
                     num_regional_features=(k if inline_roi else None),
                     pool_full_img=cfg.include_full_img_features,
                     feature_dim=cfg.vision_feature_dim or 2048,
-                    dtype=ecfg.compute_dtype, name="vision_model")
+                    dtype=ecfg.compute_dtype, name="vision_model",
+                    **tower_kw)
                 if inline_roi:
                     feats, reg, _, _ = tower(nhwc,
                                              deterministic=deterministic)

@@ -281,6 +281,16 @@ class SortEvaluator:
         if getattr(cfg, "device_decode", False):
             from ..ops.order_decode import (
                 exhaustive_naive_decode, topological_decode_batch)
+            # mirror the host oracle's range assertions (heatmap.py:68,
+            # 152-157): the device kernels would turn an out-of-range
+            # heatmap into NaN scores and decode garbage silently
+            arr = np.asarray(heatmaps)
+            if "naive" in method and "v3" not in method:
+                assert arr.min() >= 0, \
+                    "heat map cannot have negative values."
+            if "v2" in method or "v3" in method:
+                assert np.abs(arr).max() <= 1.0, \
+                    "prob is > 1, sigmoid applied?"
             hm = jnp.asarray(np.asarray(heatmaps, np.float32))
             if ("naive" in method and method != "super_naive"
                     and n <= self.DEVICE_DECODE_MAX_N):

@@ -70,12 +70,15 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     pp = max(1, getattr(args, "pipeline_parallel_size", 1))
     if pp > 1:
         # pipeline stages live on the mesh `model` axis — mutually
-        # exclusive with TP/FSDP (parallel/pipeline.py)
-        if n_model > 1 or getattr(args, "fsdp", False):
+        # exclusive with TP/FSDP/SP (TP and SP shard over that same
+        # axis; SP's activation constraints would silently no-op in the
+        # pipelined step, which never enters a mesh context)
+        if (n_model > 1 or getattr(args, "fsdp", False)
+                or getattr(cfg.encoder, "sequence_parallel", False)):
             raise ValueError(
                 "--pipeline_parallel_size is mutually exclusive with "
-                "--model_parallel_size/--fsdp (both consume the model "
-                "axis)")
+                "--model_parallel_size/--fsdp/--sequence_parallel (all "
+                "consume the model axis)")
         n_model = pp
     mesh = mesh or make_mesh(n_model=n_model)
     n_data = int(np.prod(mesh.devices.shape)) // n_model
