@@ -274,6 +274,51 @@ def bench_berson(n_dev):
             "beam16_mfu": _mfu(dec_flops, ddt, 1)}
 
 
+def _init_backend_guarded():
+    """Initialize the JAX backend with bounded retries and a hang watchdog.
+
+    Total backend failure must still yield the structured error JSON line
+    (round-3 verdict: BENCH_r02/r03 were rc=1/parsed=null because
+    `jax.devices()` sat outside the per-mode fault isolation, and the axon
+    tunnel can also HANG indefinitely rather than raise). Returns
+    (n_devices, None) on success or (None, error_string) on failure.
+    Tunables: BENCH_INIT_RETRIES (default 3), BENCH_INIT_RETRY_SLEEP_S
+    (default 120), BENCH_INIT_TIMEOUT_S per-attempt watchdog (default 600).
+    """
+    import threading
+
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", "3"))
+    sleep_s = float(os.environ.get("BENCH_INIT_RETRY_SLEEP_S", "120"))
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
+    last_err = "backend init never attempted"
+    for attempt in range(1, retries + 1):
+        box = {}
+
+        def _work(box=box):
+            try:
+                import jax
+                box["n_dev"] = len(jax.devices())
+            except Exception as e:  # noqa: BLE001 — report, don't die
+                box["error"] = f"{type(e).__name__}: {e}"[:300]
+
+        t = threading.Thread(target=_work, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if t.is_alive():
+            # The axon client blocks uninterruptibly; a hung attempt can't
+            # be retried in-process (backend init is cached/poisoned), so
+            # report the hang and let the caller emit the error line.
+            return None, (f"backend init hung > {timeout_s:.0f}s "
+                          f"(attempt {attempt}/{retries})")
+        if "n_dev" in box:
+            return box["n_dev"], None
+        last_err = box.get("error", "unknown backend init failure")
+        _log(f"backend init attempt {attempt}/{retries} failed: {last_err}")
+        if attempt < retries:
+            time.sleep(sleep_s)
+    return None, last_err
+
+
 def main():
     # honor JAX_PLATFORMS=cpu for functional verification (a bare env var
     # does not stop the axon plugin from building its remote client)
@@ -283,7 +328,15 @@ def main():
     # hardware RBG dropout bits instead of threefry (~15% step-time saving;
     # training-quality neutral)
     jax.config.update("jax_default_prng_impl", "rbg")
-    n_dev = len(jax.devices())
+    n_dev, init_err = _init_backend_guarded()
+    if n_dev is None:
+        print(json.dumps({"metric": "error", "value": 0,
+                          "unit": "stories/s/chip",
+                          "errors": {"backend_init": init_err}}))
+        sys.stdout.flush()
+        # a hung axon client leaves non-daemon threads behind; exit hard
+        # so the driver still sees rc=0 + the parsed error line
+        os._exit(0)
     mode = os.environ.get("BENCH_MODE", "all")
 
     # Fault isolation per mode: a tunnel drop or OOM in one workload must

@@ -14,6 +14,7 @@ import json
 import logging
 import os
 import random
+import re
 from typing import List
 
 from .examples import (
@@ -288,3 +289,52 @@ def human_annotated_to_test(data_dir, human_annotated_json_files,
             json.dump({"version": 0.9, "data": data}, f, indent=4)
     with open(os.path.join(out_dir, f"test-{version}_only.json"), "w") as f:
         json.dump({"version": 0.9, "data": human_data}, f, indent=4)
+
+
+_WORD_RE = re.compile(r"\w+|[^\w\s]")
+
+
+def _word_tokenize(text: str) -> List[str]:
+    """Lowercase word/punct split (stand-in for the reference's nltk
+    `word_tokenize`, which is an offline-dump detail, not model input)."""
+    return _WORD_RE.findall(text.lower())
+
+
+def output_to_tsv(data_dir, out_dir):
+    """Offline dump of the RecipeQA splits as plain-text TSVs
+    (`datasets/recipeqa.py:543-601`): one story per line, sentences
+    lowercase-word-tokenized and joined by " <eos> "; test splits also get
+    a `{split}_examples.json` JSONL of {"url": guid}."""
+    from .caption_transforms import CaptionTransformations
+
+    proc = RecipeQAGeneralProcessor(
+        data_dir=data_dir, version_text="human_annot",
+        caption_transforms=CaptionTransformations(
+            None, "wikihow",
+            caption_transformation_list=["train_max_sentence_5"]))
+    proc_human = RecipeQAGeneralProcessor(
+        data_dir=data_dir, version_text="human_annot_only",
+        caption_transforms=CaptionTransformations(
+            None, "wikihow",
+            caption_transformation_list=["eval_max_sentence_5"]))
+
+    os.makedirs(out_dir, exist_ok=True)
+    all_examples = [
+        ("train", proc.get_train_examples()),
+        ("dev", proc.get_dev_examples()),
+        ("test", proc.get_test_examples()),
+        ("human_test", proc_human.get_test_examples()),
+    ]
+    for split, examples in all_examples:
+        tsv_path = os.path.join(out_dir, f"{split}.tsv")
+        json_path = os.path.join(out_dir, f"{split}_examples.json")
+        with open(tsv_path, "w") as out_tsv:
+            out_json = open(json_path, "w") if "test" in split else None
+            for example in examples:
+                sents = [" ".join(_word_tokenize(s))
+                         for s in example.text_seq]
+                out_tsv.write(" <eos> ".join(sents) + "\n")
+                if out_json is not None:
+                    out_json.write(json.dumps({"url": example.guid}) + "\n")
+            if out_json is not None:
+                out_json.close()

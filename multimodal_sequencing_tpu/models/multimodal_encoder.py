@@ -135,13 +135,9 @@ class MultimodalEncoder(nn.Module):
         low-bandwidth loader layout: normalize runs fused on device) ->
         projected visual token stream (B, N*grid^2 + 1, hidden)."""
         cfg = self.cfg
+        from ..ops.preprocess import images_to_nhwc
         b, n = images.shape[:2]
-        if images.dtype == jnp.uint8:
-            from ..ops.preprocess import preprocess_uint8_images
-            images = preprocess_uint8_images(
-                images, size=images.shape[2:4])
-        nhwc = jnp.transpose(
-            images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))
+        nhwc = images_to_nhwc(images)
         feats = self.visual_model(nhwc, skip_last_layer=False, img_len=n,
                                   deterministic=deterministic)
         if cfg.freeze_vision_model:

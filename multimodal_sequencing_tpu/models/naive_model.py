@@ -57,13 +57,9 @@ class NaiveMultimodalModel(nn.Module):
             input_ids, token_type_ids, deterministic=deterministic)
 
         if images is not None:
+            from ..ops.preprocess import images_to_nhwc
             b, n = images.shape[:2]
-            if images.dtype == jnp.uint8:
-                from ..ops.preprocess import preprocess_uint8_images
-                images = preprocess_uint8_images(images,
-                                                 size=images.shape[2:4])
-            nhwc = jnp.transpose(
-                images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))
+            nhwc = images_to_nhwc(images)
             feats = build_pooled_vision_tower(
                 self.vision_name, dtype=ecfg.compute_dtype)(
                 nhwc, deterministic=deterministic)

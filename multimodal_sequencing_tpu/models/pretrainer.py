@@ -84,7 +84,10 @@ class SequencingPretrainer(nn.Module):
             self.encoder = TextEncoder(cfg.encoder, name="encoder")
         self.mlm_head = MLMHead(h, cfg.encoder.vocab_size,
                                 cfg.encoder.compute_dtype, name="mlm_head")
-        self.itm_head = nn.Dense(2, name="itm_head")
+        # no ITM head: the reference's `task_matched` loss
+        # (`lxrt/modeling.py:2434-2441`) is inactive in its sequencing
+        # pretraining path (no `matched_label` is ever fed), so a head
+        # would be a dead parameter that only perturbs checkpoint shapes
         self.objective_mlps = {
             name: nn.Dense(2, name=f"{name}_mlp")
             for name in BINARY_OBJECTIVES}

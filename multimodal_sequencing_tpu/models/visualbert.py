@@ -72,13 +72,9 @@ class VisualBERTEncoder(nn.Module):
 
         visn = None
         if images is not None and not cfg.multimodal_text_part:
+            from ..ops.preprocess import images_to_nhwc
             b, n = images.shape[:2]
-            if images.dtype == jnp.uint8:
-                from ..ops.preprocess import preprocess_uint8_images
-                images = preprocess_uint8_images(images,
-                                                 size=images.shape[2:4])
-            nhwc = jnp.transpose(
-                images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))
+            nhwc = images_to_nhwc(images)
             if cfg.vision_model.startswith("detectron2"):
                 # detectron2-style tower (ref multimodal_utils.py:30-167):
                 # FPN p6 per-step features; with K regional features and

@@ -21,12 +21,16 @@ IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
 IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
+@functools.partial(jax.jit, static_argnames=("size", "to_chw"))
 def preprocess_uint8_images(images_u8: jax.Array,
-                            size: Tuple[int, int] = (224, 224)) -> jax.Array:
-    """(..., H, W, 3) uint8 -> (..., 3, size) normalized float.
+                            size: Tuple[int, int] = (224, 224),
+                            to_chw: bool = True) -> jax.Array:
+    """(..., H, W, 3) uint8 -> normalized float, (..., 3, size) CHW by
+    default or (..., size, 3) NHWC with `to_chw=False`.
 
-    Bilinear resize + [0,1] scale + ImageNet mean/std + HWC->CHW, fused.
+    Bilinear resize + [0,1] scale + ImageNet mean/std, fused. The conv
+    towers consume NHWC (TPU-native layout); model paths pass
+    `to_chw=False` so the uint8 loader never round-trips through CHW.
     """
     lead = images_u8.shape[:-3]
     h, w = size
@@ -34,5 +38,21 @@ def preprocess_uint8_images(images_u8: jax.Array,
     x = x / 255.0
     x = jax.image.resize(x, (x.shape[0], h, w, 3), method="bilinear")
     x = (x - IMAGENET_MEAN) / IMAGENET_STD
-    x = jnp.transpose(x, (0, 3, 1, 2))
-    return x.reshape(lead + (3, h, w))
+    if to_chw:
+        x = jnp.transpose(x, (0, 3, 1, 2))
+        return x.reshape(lead + (3, h, w))
+    return x.reshape(lead + (h, w, 3))
+
+
+def images_to_nhwc(images: jax.Array) -> jax.Array:
+    """Model-side image intake: (B, N, 3, H, W) float CHW (host
+    preprocessing, torchvision-parity layout) or (B, N, H, W, 3) uint8
+    (low-bandwidth device-preprocess layout) -> (B*N, H, W, 3) float NHWC
+    for the conv towers."""
+    b, n = images.shape[:2]
+    if images.dtype == jnp.uint8:
+        x = preprocess_uint8_images(images, size=images.shape[2:4],
+                                    to_chw=False)
+        return x.reshape((b * n,) + x.shape[2:])
+    return jnp.transpose(
+        images.reshape((b * n,) + images.shape[2:]), (0, 2, 3, 1))

@@ -190,7 +190,9 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
                  "head_and_sequential", "head_and_sequential_abductive",
                  "pure_class", "pure_decode", "heat_map", "berson"])
     add("--abd_pred_method", type=str, default="binary")
-    add("--eval_on_every_iter", action="store_true")
+    # int eval-frequency: only every Nth eval batch is decoded
+    # ("usually for movie script type datasets", `eval.py:1250-1251,1524`)
+    add("--eval_on_every_iter", type=int, default=None)
 
     return p
 
@@ -380,12 +382,10 @@ def load_examples(args, data_name, task_type, split):
     return examples
 
 
-def make_dataset(args, cfg, tokenizer, task_type, examples, scramble=True,
-                 decode=False):
-    from ..data.datasets import (
-        PairwiseDataset, HeadPredDataset, AbductiveDataset, PureClassDataset,
-        SortDataset, PretrainDataset, BersonDataset)
-    common = dict(
+def _dataset_common(args):
+    """Dataset kwargs shared by every task dataset AND the eval sort
+    loader — image pipeline config must match between train and eval."""
+    return dict(
         max_length=args.max_seq_length,
         per_seq_max_length=args.per_seq_max_length,
         max_story_length=args.max_story_length,
@@ -394,6 +394,14 @@ def make_dataset(args, cfg, tokenizer, task_type, examples, scramble=True,
         image_size=(args.vision_image_size, args.vision_image_size),
         uint8_images=getattr(args, "device_image_preprocess", False),
         num_img_regional_features=args.include_num_img_regional_features)
+
+
+def make_dataset(args, cfg, tokenizer, task_type, examples, scramble=True,
+                 decode=False):
+    from ..data.datasets import (
+        PairwiseDataset, HeadPredDataset, AbductiveDataset, PureClassDataset,
+        SortDataset, PretrainDataset, BersonDataset)
+    common = _dataset_common(args)
     if args.wrapper_model_type == "berson":
         return BersonDataset(examples, tokenizer, scramble=scramble,
                              **common)
@@ -504,6 +512,14 @@ def _apply_runtime_flags(args):
 def main_train(argv=None):
     args = build_parser("train").parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    if (getattr(args, "multimodal_loss", False)
+            and args.wrapper_model_type != "berson"):
+        # the reference only consumes --multimodal_loss inside the BERSON
+        # wrapper (`models/berson/modeling_bert.py` pairwise img loss);
+        # anywhere else it would silently no-op
+        logger.warning(
+            "--multimodal_loss has no effect without "
+            "--wrapper_model_type berson; ignoring")
     _apply_runtime_flags(args)
     args.output_dir = resolve_output_dir(args)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -542,27 +558,53 @@ def main_train(argv=None):
 
     # --do_eval: evaluate selected checkpoints after training
     # (`train.py:2168-2225`: iters_to_eval globbing incl. 'best')
-    if args.do_eval and args.wrapper_model_type != "berson":
-        from .checkpoint import find_checkpoints
-        eval_fn = _make_dev_eval_fn(args, cfg, tokenizer, model, data_name)
-        if eval_fn is not None:
-            ckpts = find_checkpoints(
-                args.output_dir,
-                None if args.eval_all_checkpoints else args.iters_to_eval)
-            if not ckpts:
-                res = eval_fn(state)
-                logger.info("final-state eval: %s", res)
-            for ck in ckpts:
-                from .checkpoint import restore_checkpoint
-                st = restore_checkpoint(ck, state)
-                res = eval_fn(st)
-                logger.info("eval %s: %s", os.path.basename(ck), res)
+    if args.do_eval:
+        from .checkpoint import find_checkpoints, restore_checkpoint
+        ckpts = find_checkpoints(
+            args.output_dir,
+            None if args.eval_all_checkpoints else args.iters_to_eval)
+        if args.wrapper_model_type == "berson":
+            # the flagship launcher (`scripts/wikihow_finetune.sh`) passes
+            # --do_eval --iters_to_eval ... WITH the wrapper: per checkpoint,
+            # run the beam-search berson_evaluate over every eval split
+            # (`train.py:2193-2221` berson branch) and persist the results
+            for split in args.eval_splits:
+                eval_fn = _make_berson_eval_fn(args, cfg, tokenizer, model,
+                                               split=split)
+                if eval_fn is None:
+                    continue
+                for ck in (ckpts or [None]):
+                    st = restore_checkpoint(ck, state) if ck else state
+                    res = eval_fn(st)
+                    tag = (os.path.basename(str(ck).rstrip("/")) if ck
+                           else f"checkpoint-{steps}")
+                    logger.info("berson eval %s split %s: %s", tag, split,
+                                res)
+                    out = os.path.join(
+                        args.output_dir,
+                        f"eval_results_split_{split}_{tag}.txt")
+                    with open(out, "w") as f:
+                        for k, v in sorted(res.items()):
+                            f.write(f"{k} = {v}\n")
+        else:
+            eval_fn = _make_dev_eval_fn(args, cfg, tokenizer, model,
+                                        data_name)
+            if eval_fn is not None:
+                if not ckpts:
+                    res = eval_fn(state)
+                    logger.info("final-state eval: %s", res)
+                for ck in ckpts:
+                    st = restore_checkpoint(ck, state)
+                    res = eval_fn(st)
+                    logger.info("eval %s: %s", os.path.basename(ck), res)
     return state
 
 
-def _make_berson_eval_fn(args, cfg, tokenizer, model):
+def _make_berson_eval_fn(args, cfg, tokenizer, model, split=None):
     """Beam-search dev metrics for the BERSON wrapper (acc/pmr/tau of
-    `models/berson/eval.py:131-135`, via the shared metric suite)."""
+    `models/berson/eval.py:131-135`, via the shared metric suite).
+    `split` defaults to the first eval split (dev-eval during training);
+    the post-training --do_eval sweep passes each split explicitly."""
     import jax.numpy as jnp
     import numpy as np
     from ..data.datasets import BersonDataset, data_loader
@@ -572,17 +614,11 @@ def _make_berson_eval_fn(args, cfg, tokenizer, model):
     data_name, _ = _parse_task(args)
     try:
         examples = load_examples(args, data_name, "sort",
-                                 args.eval_splits[0])
+                                 split or args.eval_splits[0])
     except (FileNotFoundError, ValueError) as e:
         logger.warning("no dev split for berson eval: %s", e)
         return None
-    ds = BersonDataset(examples, tokenizer, max_length=args.max_seq_length,
-                       per_seq_max_length=args.per_seq_max_length,
-                       max_story_length=args.max_story_length,
-                       min_story_length=args.min_story_length,
-                       seed=args.seed, multimodal=args.multimodal,
-                       image_size=(args.vision_image_size,
-                                   args.vision_image_size))
+    ds = BersonDataset(examples, tokenizer, **_dataset_common(args))
 
     def eval_fn(state):
         variables = {"params": state.params, **state.model_state}
@@ -620,13 +656,7 @@ def _make_dev_eval_fn(args, cfg, tokenizer, model, data_name):
     except (FileNotFoundError, ValueError) as e:
         logger.warning("no dev split for eval-during-training: %s", e)
         return None
-    ds = SortDataset(examples, tokenizer, max_length=args.max_seq_length,
-                     per_seq_max_length=args.per_seq_max_length,
-                     max_story_length=args.max_story_length,
-                     min_story_length=args.min_story_length,
-                     seed=args.seed, multimodal=args.multimodal,
-                     image_size=(args.vision_image_size,
-                                 args.vision_image_size))
+    ds = SortDataset(examples, tokenizer, **_dataset_common(args))
     packer = StoryPacker(tokenizer, args.max_seq_length,
                          args.per_seq_max_length)
     evaluator = SortEvaluator(cfg, packer,
@@ -905,17 +935,19 @@ def _eval_splits(args, cfg, tokenizer, data_name, evaluator, models, tag):
     results = {}
     for split in splits:
         examples = load_examples(args, data_name, "sort", split)
-        ds = SortDataset(examples, tokenizer, max_length=args.max_seq_length,
-                         per_seq_max_length=args.per_seq_max_length,
-                         max_story_length=args.max_story_length,
-                         min_story_length=args.min_story_length,
-                         seed=args.seed, multimodal=args.multimodal)
+        # _dataset_common so eval images use the SAME pipeline config as
+        # training (--vision_image_size / --device_image_preprocess /
+        # regional sidecars); a hand-rolled kwargs list here once defaulted
+        # to 224px while the model trained at --vision_image_size (caught
+        # by the visual-signal quality gate)
+        ds = SortDataset(examples, tokenizer, **_dataset_common(args))
         loader = data_loader(ds, args.per_gpu_eval_batch_size)
         res = evaluator.evaluate(
             loader, args.sort_method, models,
             metrics=args.metrics, output_dir=args.output_dir,
             data_split=split if tag is None else f"{split}_{tag}",
-            max_batches=args.max_eval_steps, args_ns=args)
+            max_batches=args.max_eval_steps, args_ns=args,
+            every_n=getattr(args, "eval_on_every_iter", None))
         results[split] = res
         logger.info("%ssplit %s: %s", f"[{tag}] " if tag else "", split, res)
     return results
@@ -953,18 +985,29 @@ def load_model_for_eval(cfg, args, role: str, path: Optional[str]):
     elif role == "pure_decode":
         role_cfg.hierarchical_version = "decode"
 
+    vcfg = _vision_cfg(role_cfg, args)
     if role == "berson":
-        vcfg = _vision_cfg(role_cfg, args)
         model = BersonOrdering(role_cfg, vcfg, beam_size=args.beam_size,
                                pairwise_loss_lam=args.pairwise_loss_lam)
     elif role == "pure_decode":
         from ..models.pure_decode import EncoderIndexDecoder
         model = EncoderIndexDecoder(role_cfg)
     else:
-        model = SequencingModel(role_cfg)
+        model = SequencingModel(role_cfg, vcfg)
     L = args.max_seq_length
     ids = np.full((1, L), role_cfg.pad_id, np.int32)
     ids[0, 0] = role_cfg.cls_id
+    # multimodal checkpoints carry the vision tower + visual embeddings;
+    # the init template must create those params too or the orbax restore
+    # fails on the structure diff (caught by the visual-signal quality gate)
+    mm_init = {}
+    if cfg.multimodal and not cfg.multimodal_text_part:
+        S = args.vision_image_size
+        mm_init["images"] = jnp.zeros((1, 2, 3, S, S), jnp.float32)
+        if getattr(args, "include_num_img_regional_features", None):
+            mm_init["img_regional_features"] = jnp.zeros(
+                (1, 2, args.include_num_img_regional_features,
+                 cfg.visual_feat_dim), jnp.float32)
     if role == "berson":
         from ..data.packing import StoryPacker
         from ..data.tokenization import load_tokenizer
@@ -973,9 +1016,15 @@ def load_model_for_eval(cfg, args, role: str, path: Optional[str]):
         item = packer.pack_berson_story(
             ["a"] * cfg.max_story_length, list(range(cfg.max_story_length)))
         init_batch = {k: jnp.asarray(v[None]) for k, v in item.items()}
+        if "images" in mm_init:
+            init_batch["images"] = jnp.zeros(
+                (1, cfg.max_story_length, 3,
+                 args.vision_image_size, args.vision_image_size),
+                jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), init_batch)
     else:
-        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids))
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                               **mm_init)
     if path and os.path.isdir(path):
         tx = make_optimizer()
         variables = dict(variables)

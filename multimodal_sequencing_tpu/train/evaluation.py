@@ -317,17 +317,24 @@ class SortEvaluator:
                  metrics: Optional[Sequence[str]] = None,
                  output_dir: Optional[str] = None,
                  data_split: str = "test", max_batches: Optional[int] = None,
-                 args_ns=None) -> Dict[str, float]:
+                 args_ns=None,
+                 every_n: Optional[int] = None) -> Dict[str, float]:
         """Run decode + metrics over a SortDataset loader.
 
         `models` maps role -> (model, variables): roles `pairwise`, `head`,
         `heatmap`, `pure_class`, `abductive`, `berson` depending on method.
+        `every_n` subsamples the loader to every Nth batch — the
+        `--eval_on_every_iter` semantics of `eval.py:1250-1253`.
         """
         metrics = list(metrics or METRICS)
         all_preds, all_labels, all_guids = [], [], []
+        decoded = 0
         for bi, batch in enumerate(loader):
-            if max_batches is not None and bi >= max_batches:
+            if every_n is not None and bi % every_n != 0:
+                continue
+            if max_batches is not None and decoded >= max_batches:
                 break
+            decoded += 1
             valid = batch.get("valid")
             stories = [t for k, t in enumerate(batch["texts"])
                        if valid is None or valid[k]]

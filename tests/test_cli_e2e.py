@@ -86,6 +86,21 @@ def test_eval_topological_fresh_models(wikihow_dir, tmp_path):
     assert 0.0 <= results["dev"]["partial_match"] <= 1.0
 
 
+def test_eval_on_every_iter_subsamples_batches(wikihow_dir, tmp_path):
+    # int eval-frequency: only every Nth eval batch decoded
+    # (`eval.py:1250-1253,1524`); with batch=1 over 2 dev stories, N=2
+    # decodes exactly one story
+    out = str(tmp_path / "everyiter")
+    results = main_eval(_common(wikihow_dir, out, [
+        "--task_name", "wikihow_sort", "--sort_method", "topological",
+        "--eval_splits", "dev", "--eval_on_every_iter", "2",
+        "--per_gpu_eval_batch_size", "1", "--eval_save_all_results",
+    ]))
+    assert "dev" in results
+    csv_rows = open(os.path.join(out, "all_predictions.csv")).readlines()
+    assert len(csv_rows) == 2  # header + the single decoded story
+
+
 def test_pretrain_text_only(wikihow_dir, tmp_path):
     out = str(tmp_path / "pre")
     state = main_pretrain(_common(wikihow_dir, out, [
@@ -204,6 +219,28 @@ def test_berson_cli_train_with_eval(wikihow_dir, tmp_path):
     ]))
     assert state is not None
     assert any(c.endswith("checkpoint-best") for c in find_checkpoints(out))
+
+
+def test_berson_do_eval_checkpoint_sweep(wikihow_dir, tmp_path):
+    # wikihow_finetune.sh-shaped: --wrapper_model_type berson --do_eval
+    # --iters_to_eval <step> best must run the post-training beam-eval
+    # sweep (`train.py:2168-2225`) and write per-checkpoint result files
+    out = str(tmp_path / "bersondoeval")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--do_eval", "--task_name", "wikihow_hl_v1",
+        "--wrapper_model_type", "berson", "--beam_size", "2",
+        "--per_gpu_train_batch_size", "2", "--max_steps", "2",
+        "--save_steps", "2", "--evaluate_during_training",
+        "--iters_to_eval", "2", "best",
+        "--eval_splits", "dev", "--max_eval_steps", "1",
+        "--overwrite_output_dir",
+    ]))
+    assert state is not None
+    for tag in ("checkpoint-2", "checkpoint-best"):
+        path = os.path.join(out, f"eval_results_split_dev_{tag}.txt")
+        assert os.path.exists(path), path
+        body = open(path).read()
+        assert "tau" in body and "partial_match" in body
 
 
 def test_do_eval_after_training(wikihow_dir, tmp_path):

@@ -76,6 +76,33 @@ def test_recipeqa_processors(recipeqa_dir):
     assert stories[0].img_path_seq[0].endswith("_0_0.jpg")
 
 
+def test_recipeqa_output_to_tsv(recipeqa_dir, tmp_path):
+    import json as _json
+    import os
+    from multimodal_sequencing_tpu.data.recipeqa import (
+        human_annotated_to_test, output_to_tsv)
+    # mark one test recipe as human-annotated, regenerate the new_splits
+    human_file = tmp_path / "human.jsonl"
+    human_file.write_text(_json.dumps({"guid": "test-recipe_0"}) + "\n")
+    new_splits = os.path.join(recipeqa_dir, "new_splits")
+    human_annotated_to_test(recipeqa_dir, [str(human_file)],
+                            out_dir=new_splits)
+    out = str(tmp_path / "tsv")
+    output_to_tsv(recipeqa_dir, out)
+    for split in ("train", "dev", "test", "human_test"):
+        lines = open(os.path.join(out, f"{split}.tsv")).read().splitlines()
+        assert lines, split
+        assert " <eos> " in lines[0]
+        assert lines[0] == lines[0].lower()
+    # test splits carry the guid JSONL sidecar
+    recs = [_json.loads(l) for l in
+            open(os.path.join(out, "test_examples.json"))]
+    assert all("url" in r for r in recs)
+    human_recs = [_json.loads(l) for l in
+                  open(os.path.join(out, "human_test_examples.json"))]
+    assert [r["url"] for r in human_recs] == ["test-recipe_0"]
+
+
 def test_caption_transforms():
     text = "First sentence here. Second one now. Third arrives. Fourth!"
     assert len(sent_split(text)) == 4

@@ -240,6 +240,97 @@ def test_quality_pretrain_mlm_perplexity(ordered_wikihow_dir, tmp_path):
     assert np.isfinite(res["eval_mlm"]), res
 
 
+@pytest.fixture(scope="module")
+def visual_wikihow_dir(tmp_path_factory):
+    """WikiHow tree whose ONLY order signal lives in the images: every
+    step's text is the same constant filler, while the step image's mean
+    brightness encodes its rank (rank s -> band around 30+45*s, +-10
+    noise). Any tau recovered here proves the visual stream carries
+    signal end-to-end (dataset -> vision tower -> fold -> head ->
+    decode); a silent visual regression drops the gate to chance."""
+    root = tmp_path_factory.mktemp("visual_wikihow")
+    img_dir = root / "www.wikihow.com" / "images"
+    img_dir.mkdir(parents=True)
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    for split, n_articles in [("train", 24), ("dev", 6), ("test", 6)]:
+        records = []
+        for a in range(n_articles):
+            steps = []
+            for s in range(5):
+                img_name = f"{split}_{a}_{s}.png"
+                base = 30 + 45 * s
+                img = np.clip(
+                    base + rng.randint(-10, 11, (32, 32, 3)),
+                    0, 255).astype(np.uint8)
+                Image.fromarray(img).save(img_dir / img_name)
+                steps.append({
+                    "step_headline": "Headline",
+                    "step_text": {
+                        "text": "constant filler widget gadget lever.",
+                        "bullet_points": [],
+                    },
+                    "step_assets": {"image-large": f"images/{img_name}",
+                                    "image-src-1": ""},
+                })
+            records.append({
+                "url": f"https://wikihow.test/{split}/{a}",
+                "title": f"How to See {a}",
+                "summary": "Brightness-coded synthetic article.",
+                "sections": [{"steps": steps}],
+            })
+        with open(root / f"wikihow-{split}.json", "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+    return str(root)
+
+
+_MM_FLAGS = ["--multimodal", "--vision_image_size", "32"]
+
+
+def test_quality_multimodal_clip(visual_wikihow_dir, tmp_path):
+    """CLIP-fold multimodal end-metric gate: constant text, rank-coded
+    image brightness; train pairwise -> topological decode to tau>=0.9.
+    The reference's flagship family (`scripts/wikihow_finetune.sh`
+    MODEL_TYPE=clip)."""
+    out = str(tmp_path)
+    mm = _MM_FLAGS + ["--multimodal_model_type", "clip"]
+    ckpt = _train(visual_wikihow_dir, out, "wikihow_pairwise", 400,
+                  extra=["--order_criteria", "loose"] + mm)
+    res = _eval(visual_wikihow_dir, out, "topological",
+                ["--model_name_or_path_1", ckpt], extra=mm)
+    _assert_quality(res, out)
+
+
+def test_quality_multimodal_visualbert(visual_wikihow_dir, tmp_path):
+    """VisualBERT inner-encoder variant through the same visual-signal
+    gate (`models/visualbert.py` pooled-token path)."""
+    out = str(tmp_path)
+    mm = _MM_FLAGS + ["--multimodal_model_type", "visualbert",
+                      "--vision_model", "resnet18"]
+    ckpt = _train(visual_wikihow_dir, out, "wikihow_pairwise", 400,
+                  extra=["--order_criteria", "loose"] + mm)
+    res = _eval(visual_wikihow_dir, out, "topological",
+                ["--model_name_or_path_1", ckpt], extra=mm)
+    _assert_quality(res, out)
+
+
+def test_quality_berson_multimodal(visual_wikihow_dir, tmp_path):
+    """BERSON wrapper over the multimodal inner encoder, gated on the
+    image-only signal through beam decode."""
+    out = str(tmp_path)
+    mm = _MM_FLAGS + ["--multimodal_model_type", "clip"]
+    ckpt = _train(visual_wikihow_dir, out, "wikihow_sort", 300,
+                  extra=["--wrapper_model_type", "berson",
+                         "--beam_size", "4",
+                         "--per_gpu_train_batch_size", "4"] + mm)
+    res = _eval(visual_wikihow_dir, out, "berson",
+                ["--model_name_or_path_1", ckpt],
+                extra=["--wrapper_model_type", "berson",
+                       "--beam_size", "4"] + mm)
+    _assert_quality(res, out)
+
+
 # NOTE: no pure_class gate — the 120-way arrangement-classification task
 # underfits tiny models in test-budget time (measured: train tau 0.19
 # after 1000 steps at batch 16); the pure_class decode path is covered by
