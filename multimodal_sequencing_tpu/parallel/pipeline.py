@@ -26,10 +26,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS
+from .sharding_rules import _FSDP_MIN_ELEMS
 
 PIPE_AXIS = MODEL_AXIS  # pipeline stages live on the mesh `model` axis
 
@@ -49,13 +51,42 @@ def stack_layer_params(enc_params, num_layers: int, n_stages: int):
         lambda x: x.reshape((n_stages, lps) + x.shape[1:]), stacked)
 
 
+def _fsdp_stacked_dim(shape, dsize: int, min_elems: int) -> int:
+    """Stacked-leaf dim to shard over the data axis, or -1.
+
+    `shape` is (n_stages, layers_per_stage, *param_dims); candidates are
+    the param dims (index >= 2), picked by the same largest-divisible
+    rule + per-layer size threshold as sharding_rules._with_fsdp so the
+    at-rest FSDP layout of the per-layer leaves lines up with the
+    stacked operand's layout (the reshard into shard_map is then pure
+    local slicing, no collective)."""
+    if len(shape) < 3:
+        return -1
+    per_layer = int(np.prod(shape[2:]))
+    if per_layer < min_elems:
+        return -1
+    best, best_dim = -1, 0
+    for i, d in enumerate(shape[2:], start=2):
+        if d % dsize == 0 and d > best_dim:
+            best, best_dim = i, d
+    return best
+
+
 def gpipe_layers(ecfg, stacked_params, x, attention_mask, rng,
                  n_stages: int, n_micro: int, mesh,
-                 deterministic: bool = True):
+                 deterministic: bool = True, fsdp: bool = False,
+                 fsdp_min_elems: int = _FSDP_MIN_ELEMS):
     """Run the layer stack over `x` (B, S, H) through the pipeline.
 
     stacked_params: (n_stages, layers_per_stage, ...) tree.
     attention_mask: (B, S). Returns (B, S, H).
+
+    fsdp=True: each leaf additionally enters the shard_map sharded over
+    the data axis on its largest param dim (ZeRO-style at-rest layout);
+    one explicit all_gather per stage per step restores the full stage
+    weights before use, and autodiff transposes it to a reduce-scatter
+    of the matching gradient — the standard FSDP schedule, composed
+    with the pipeline instead of mutually exclusive with it.
     """
     from jax import shard_map
     from ..models.encoder import TransformerLayer
@@ -87,9 +118,32 @@ def gpipe_layers(ecfg, stacked_params, x, attention_mask, rng,
         (h, _), _ = jax.lax.scan(body_fn, (h, key), params_lps)
         return h
 
+    # per-leaf stacked-param specs: stage axis on the pipe axis always;
+    # fsdp additionally shards the largest param dim over the data axis
+    # (gather_axes records that dim per leaf, -1 = kept whole)
+    dsize = mesh.shape[DATA_AXIS]
+    gather_axes = jax.tree.map(
+        lambda p: (_fsdp_stacked_dim(p.shape, dsize, fsdp_min_elems)
+                   if fsdp and dsize > 1 else -1),
+        stacked_params)
+
+    def _leaf_spec(p, ax):
+        entries = [PIPE_AXIS] + [None] * (p.ndim - 1)
+        if ax >= 0:
+            entries[ax] = DATA_AXIS
+        return P(*entries)
+
+    params_specs = jax.tree.map(_leaf_spec, stacked_params, gather_axes)
+
     def pipelined(params_st, xm, maskm, rng):
-        # inside shard_map: params_st is THIS stage's (1, lps, ...) slice
-        params_lps = jax.tree.map(lambda p: p[0], params_st)
+        # inside shard_map: params_st is THIS stage's (1, lps, ...) slice,
+        # fsdp leaves additionally 1/dsize-sized on their gather axis —
+        # one all_gather per leaf rebuilds the full stage weights (its
+        # autodiff transpose reduce-scatters the gradient back)
+        params_lps = jax.tree.map(
+            lambda p, ax: (p[0] if ax < 0 else jax.lax.all_gather(
+                p[0], DATA_AXIS, axis=ax - 1, tiled=True)),
+            params_st, gather_axes)
         stage = jax.lax.axis_index(PIPE_AXIS)
         # decorrelate dropout across data shards: each shard holds
         # different samples, so bits must differ per data coordinate
@@ -124,7 +178,7 @@ def gpipe_layers(ecfg, stacked_params, x, attention_mask, rng,
 
     out = shard_map(
         pipelined, mesh=mesh,
-        in_specs=(P(PIPE_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
+        in_specs=(params_specs, P(None, DATA_AXIS), P(None, DATA_AXIS),
                   P()),
         out_specs=P(None, DATA_AXIS),
         check_vma=False)(stacked_params, xm, maskm, rng)
@@ -132,11 +186,20 @@ def gpipe_layers(ecfg, stacked_params, x, attention_mask, rng,
 
 
 def make_pipeline_train_step(cfg, mesh, n_stages: int, n_micro: int,
-                             donate: bool = True):
+                             donate: bool = True, fsdp: bool = False,
+                             state_shardings=None,
+                             fsdp_min_elems: int = _FSDP_MIN_ELEMS):
     """Pipelined analogue of `train/steps.make_train_step` for TEXT
     models (the multimodal towers keep dp/tp/fsdp). Supports every
     hierarchical_version head; aux `hl_include_objectives` heads are out
-    of scope for the pipelined step (reject loudly)."""
+    of scope for the pipelined step (reject loudly).
+
+    fsdp=True composes ZeRO-style data-axis sharding of params +
+    optimizer moments with the pipeline: pass the matching
+    `state_shardings` (sharding_rules.tree_shardings with
+    apply_tp=False) so the jitted step keeps the state in its at-rest
+    layout; the layer stack is gathered stage-locally inside the
+    pipelined program (see gpipe_layers)."""
     from ..models.encoder import Embeddings
     from ..models.heads import (HeatmapHead, PointerHead,
                                 ClassificationHead, gather_step_cls)
@@ -185,7 +248,8 @@ def make_pipeline_train_step(cfg, mesh, n_stages: int, n_micro: int,
                                      n_stages)
         seq = gpipe_layers(ecfg, stacked, x, attn, r_layers,
                            n_stages, n_micro, mesh,
-                           deterministic=deterministic)
+                           deterministic=deterministic, fsdp=fsdp,
+                           fsdp_min_elems=fsdp_min_elems)
         outputs = {"sequence_output": seq}
         rngs = {} if deterministic else {"dropout": r_head}
         if v == "v0":
@@ -235,9 +299,12 @@ def make_pipeline_train_step(cfg, mesh, n_stages: int, n_micro: int,
 
     bs = NamedSharding(mesh, P(DATA_AXIS))
     rep = NamedSharding(mesh, P())
+    st_in = state_shardings if state_shardings is not None else None
     jitted = jax.jit(
         step,
-        in_shardings=(None, bs, rep),
+        in_shardings=(st_in, bs, rep),
+        out_shardings=((state_shardings, rep)
+                       if state_shardings is not None else None),
         donate_argnums=(0,) if donate else ())
     # forward exposed for parity tests against the sequential program
     return jitted, forward

@@ -104,12 +104,16 @@ def _with_fsdp(spec: P, leaf, dsize: int,
 
 
 def tree_shardings(tree, mesh: Mesh, fsdp: bool = False,
-                   fsdp_min_elems: int = _FSDP_MIN_ELEMS):
+                   fsdp_min_elems: int = _FSDP_MIN_ELEMS,
+                   apply_tp: bool = True):
     """NamedSharding tree for any pytree (TrainState, params, opt state)
     by path-suffix TP rules (+ optional FSDP data-axis sharding);
-    everything unmatched is replicated."""
+    everything unmatched is replicated. `apply_tp=False` skips the TP
+    rules even when the mesh model axis is >1 — used when that axis
+    hosts pipeline stages (parallel/pipeline.py), where per-layer
+    weights must stay whole per stage and only FSDP applies."""
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    msize = sizes.get(MODEL_AXIS, 1)
+    msize = sizes.get(MODEL_AXIS, 1) if apply_tp else 1
     dsize = sizes.get(DATA_AXIS, 1)
     if msize == 1 and not (fsdp and dsize > 1):
         return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
@@ -124,9 +128,10 @@ def tree_shardings(tree, mesh: Mesh, fsdp: bool = False,
 
 
 def shard_state(state, mesh: Mesh, fsdp: bool = False,
-                fsdp_min_elems: int = _FSDP_MIN_ELEMS):
+                fsdp_min_elems: int = _FSDP_MIN_ELEMS,
+                apply_tp: bool = True):
     """Place a TrainState onto the mesh with TP (+FSDP) param/moment
     shardings."""
     sh = tree_shardings(state, mesh, fsdp=fsdp,
-                        fsdp_min_elems=fsdp_min_elems)
+                        fsdp_min_elems=fsdp_min_elems, apply_tp=apply_tp)
     return jax.tree.map(jax.device_put, state, sh)

@@ -70,14 +70,16 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
     pp = max(1, getattr(args, "pipeline_parallel_size", 1))
     if pp > 1:
         # pipeline stages live on the mesh `model` axis — mutually
-        # exclusive with TP/FSDP/SP (TP and SP shard over that same
-        # axis; SP's activation constraints would silently no-op in the
-        # pipelined step, which never enters a mesh context)
-        if (n_model > 1 or getattr(args, "fsdp", False)
+        # exclusive with TP/SP (both shard over that same axis; SP's
+        # activation constraints would silently no-op in the pipelined
+        # step, which never enters a mesh context). FSDP composes: the
+        # state rests ZeRO-sharded over the data axis and the stage
+        # weights are gathered inside the pipelined program.
+        if (n_model > 1
                 or getattr(cfg.encoder, "sequence_parallel", False)):
             raise ValueError(
                 "--pipeline_parallel_size is mutually exclusive with "
-                "--model_parallel_size/--fsdp/--sequence_parallel (all "
+                "--model_parallel_size/--sequence_parallel (all "
                 "consume the model axis)")
         n_model = pp
     mesh = mesh or make_mesh(n_model=n_model)
@@ -127,9 +129,20 @@ def run_finetune(cfg, model, train_dataset, args, *, eval_fn=None,
 
     if pp > 1:
         from ..parallel.pipeline import make_pipeline_train_step
+        fsdp = bool(getattr(args, "fsdp", False))
+        st_shardings = None
+        if fsdp:
+            # ZeRO at-rest sharding over the data axis only (TP rules
+            # would mis-shard per-stage weights over the pipe axis)
+            from ..parallel.sharding_rules import (tree_shardings,
+                                                  shard_state)
+            st_shardings = tree_shardings(state, mesh, fsdp=True,
+                                          apply_tp=False)
+            state = shard_state(state, mesh, fsdp=True, apply_tp=False)
         step_fn, _ = make_pipeline_train_step(
             cfg, mesh, n_stages=pp,
-            n_micro=max(1, getattr(args, "pipeline_microbatches", 2)))
+            n_micro=max(1, getattr(args, "pipeline_microbatches", 2)),
+            fsdp=fsdp, state_shardings=st_shardings)
     else:
         st_shardings = None
         fsdp = bool(getattr(args, "fsdp", False))

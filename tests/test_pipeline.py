@@ -96,6 +96,59 @@ def test_pipeline_train_step_descends(wikihow_dir, tokenizer):
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
+def test_pipeline_fsdp_matches_sequential(wikihow_dir, tokenizer):
+    """PP(2) composed with FSDP over the 4-way data axis: at-rest
+    ZeRO-sharded state, stage weights gathered inside the pipelined
+    program — loss trajectory must be identical to the plain pipelined
+    step (the gather/reduce-scatter pair changes layout, not math)."""
+    from multimodal_sequencing_tpu.parallel.sharding_rules import (
+        tree_shardings, shard_state)
+
+    cfg, batch, model, state = _setup(wikihow_dir, tokenizer)
+    mesh = make_mesh(n_data=4, n_model=2)
+    db = shard_batch(batch, mesh)
+    rng = jax.random.PRNGKey(1)
+
+    # forward parity vs the sequential model
+    _, forward = make_pipeline_train_step(
+        cfg, mesh, n_stages=2, n_micro=2, donate=False, fsdp=True,
+        fsdp_min_elems=256)
+    out_seq = model.apply({"params": state.params}, batch["input_ids"],
+                          batch.get("attention_mask"),
+                          batch.get("token_type_ids"), deterministic=True)
+    out_pp = jax.jit(
+        lambda p, b: forward(p, b, rng, deterministic=True))(
+        state.params, db)
+    np.testing.assert_allclose(np.asarray(out_pp["heatmap"]),
+                               np.asarray(out_seq["heatmap"]),
+                               rtol=2e-5, atol=2e-5)
+
+    # train-step parity: fsdp-pipelined losses == plain-pipelined losses
+    # (non-donating reference step: shard_state below may alias
+    # already-placed buffers, which donation would delete)
+    step_pp, _ = make_pipeline_train_step(cfg, mesh, n_stages=2, n_micro=2,
+                                          donate=False)
+    st_sh = tree_shardings(state, mesh, fsdp=True, apply_tp=False,
+                           fsdp_min_elems=256)
+    state_f = shard_state(state, mesh, fsdp=True, apply_tp=False,
+                          fsdp_min_elems=256)
+    step_f, _ = make_pipeline_train_step(
+        cfg, mesh, n_stages=2, n_micro=2, fsdp=True, state_shardings=st_sh,
+        fsdp_min_elems=256)
+    # assert something actually sharded over data (not a vacuous test)
+    from multimodal_sequencing_tpu.parallel.mesh import DATA_AXIS
+    sharded = [s for s in jax.tree.leaves(
+        jax.tree.map(lambda x: x.sharding.spec, state_f.params))
+        if DATA_AXIS in s]
+    assert sharded, "no param leaf FSDP-sharded — threshold too high?"
+    for i in range(4):
+        state, m_ref = step_pp(state, db, rng)
+        state_f, m_f = step_f(state_f, db, rng)
+        np.testing.assert_allclose(float(m_f["loss"]),
+                                   float(m_ref["loss"]),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_pipeline_guards(wikihow_dir, tokenizer):
     cfg, batch, model, state = _setup(wikihow_dir, tokenizer)
     mesh = make_mesh(n_data=4, n_model=2)
