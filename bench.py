@@ -64,16 +64,21 @@ def _peak_flops():
     return None
 
 
-def _cost_flops(jitted, *args):
-    """Per-execution model FLOPs from XLA cost analysis (0 if the backend
-    doesn't report them)."""
+def _compile_with_flops(jitted, *args):
+    """AOT-compile once and reuse the executable for BOTH cost analysis and
+    the timed loop. (`.lower().compile()` does not populate the jit call
+    cache, so the previous cost_analysis helper caused every mode to
+    compile twice — material over the remote-tunnel backend where a large
+    compile costs minutes.) Returns (compiled_callable, flops_per_exec)."""
+    compiled = jitted.lower(*args).compile()
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        flops = float(ca.get("flops", 0.0))
     except Exception:
-        return 0.0
+        flops = 0.0
+    return compiled, flops
 
 
 def _mfu(flops, sec_per_step, n_dev):
@@ -143,8 +148,8 @@ def bench_text(n_dev, fast=False):
     step = make_train_step(cfg, mesh, with_grad_norm=False)
     dbatch = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(1)
-    flops = _cost_flops(step, state, dbatch, rng)
-    dt, state = _time_train(step, state, dbatch, rng, iters=30, warmup=8)
+    step_c, flops = _compile_with_flops(step, state, dbatch, rng)
+    dt, state = _time_train(step_c, state, dbatch, rng, iters=30, warmup=8)
     per_chip = bpc / dt
     name = "text-fast" if fast else "text"
     _log(f"{name}: {per_chip:.1f} stories/s/chip ({dt*1e3:.1f}ms/step)")
@@ -183,8 +188,8 @@ def bench_multimodal(n_dev):
     step = make_train_step(cfg, mesh, with_grad_norm=False)
     dbatch = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(1)
-    flops = _cost_flops(step, state, dbatch, rng)
-    dt, state = _time_train(step, state, dbatch, rng, iters=15, warmup=5)
+    step_c, flops = _compile_with_flops(step, state, dbatch, rng)
+    dt, state = _time_train(step_c, state, dbatch, rng, iters=15, warmup=5)
     per_chip = bpc / dt
     _log(f"multimodal: {per_chip:.1f} stories/s/chip ({dt*1e3:.1f}ms/step)")
     return {"stories_per_sec_per_chip": round(per_chip, 2),
@@ -239,8 +244,8 @@ def bench_berson(n_dev):
     step = make_berson_train_step(mesh)
     dbatch = shard_batch(batch, mesh)
     rng = jax.random.PRNGKey(1)
-    flops = _cost_flops(step, state, dbatch, rng)
-    dt, state = _time_train(step, state, dbatch, rng, iters=15, warmup=5)
+    step_c, flops = _compile_with_flops(step, state, dbatch, rng)
+    dt, state = _time_train(step_c, state, dbatch, rng, iters=15, warmup=5)
     train_per_chip = bpc / dt
     _log(f"berson train: {train_per_chip:.1f} stories/s/chip "
          f"({dt*1e3:.1f}ms/step)")
@@ -255,7 +260,7 @@ def bench_berson(n_dev):
     def decode(v, b):
         return model.apply(v, b, method=BersonOrdering.beam_search)
 
-    dec_flops = _cost_flops(decode, eval_vars, dec_batch)
+    decode, dec_flops = _compile_with_flops(decode, eval_vars, dec_batch)
     for _ in range(3):
         out = decode(eval_vars, dec_batch)
     _ = out.block_until_ready()
