@@ -40,6 +40,13 @@ class EncoderConfig:
     # tanh-approximate GELU (cheaper on the VPU than erf; HF parity needs
     # erf, so conversion-loaded models should keep False)
     gelu_approximate: bool = False
+    # MLP activation implementation (ops/gelu.py): "erf" = XLA's erf
+    # lowering (bit-reference), "fast_erf" = A&S rational+exp erf with a
+    # shared-exp custom backward (bf16 outputs exhaustively verified vs
+    # "erf"; see ops/gelu.py docstring), "tanh" = HF gelu_new
+    # approximation. gelu_approximate=True overrides to "tanh" for
+    # backward compatibility.
+    gelu_impl: str = "erf"
     # Megatron-style sequence parallelism: between the TP matmul pairs,
     # shard layer-boundary activations (B, S, H) over the mesh model axis
     # along S (parallel/mesh.seq_shard). Only meaningful with
@@ -61,6 +68,10 @@ class EncoderConfig:
     @property
     def head_dim(self):
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def resolved_gelu_impl(self) -> str:
+        return "tanh" if self.gelu_approximate else self.gelu_impl
 
     @classmethod
     def tiny(cls, **kw):

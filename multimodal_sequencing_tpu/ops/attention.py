@@ -441,3 +441,4 @@ def multihead_attention(q, k, v, mask=None, bias=None,
             "multihead_attention only fuses dropout on the flash path; "
             "apply probs dropout in the caller for the XLA path")
     return attention_reference(q, k, v, mask=mask, bias=bias)
+

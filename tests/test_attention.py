@@ -194,3 +194,4 @@ def test_attention_dropout_modes():
     np.testing.assert_allclose(outs["probs"][0], outs["folded"][0],
                                atol=1e-6)  # eval identical
     assert not np.allclose(outs["probs"][1], outs["folded"][1])
+

@@ -1,0 +1,114 @@
+"""ops/gelu.py: the fast_erf implementation must be numerically
+indistinguishable (bf16) from the XLA erf lowering it replaces.
+
+Reference semantics: exact erf GELU, as used by the reference's HF
+encoders (`/root/reference/models/CLIP/src/lxrt/modeling.py` gelu()).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_sequencing_tpu.ops.gelu import gelu, gelu_fast_erf
+
+
+def _all_finite_bf16_f32():
+    bits = np.arange(65536, dtype=np.uint32)
+    f32 = (bits << 16).view(np.float32)
+    return f32[np.isfinite(f32)]
+
+
+def _bf16_bits(x):
+    u = np.asarray(x.astype(jnp.bfloat16)).view(np.uint16)
+    return np.where(u == 0x8000, 0, u)  # normalize -0.0
+
+
+def _mono(v):
+    s = (v.astype(np.int32) >> 15) & 1
+    mag = v.astype(np.int32) & 0x7FFF
+    return np.where(s == 1, -mag, mag)
+
+
+def test_fast_erf_exhaustive_bf16_forward():
+    """Over ALL finite bf16 inputs: fast_erf == erf except a handful of
+    1-ulp rounding flips and the deep negative tail where the magnitudes
+    are <= 1.5e-5 (see ops/gelu.py docstring)."""
+    x = jnp.asarray(_all_finite_bf16_f32(), jnp.float32)
+    ref = jax.jit(lambda v: gelu(v, "erf"))(x)
+    cand = jax.jit(gelu_fast_erf)(x)
+    rb, cb = _bf16_bits(ref), _bf16_bits(cand)
+    mism = rb != cb
+    assert mism.mean() <= 0.005, f"too many bf16 mismatches: {mism.sum()}"
+    if mism.any():
+        ud = np.abs(_mono(rb[mism]) - _mono(cb[mism]))
+        refv = np.asarray(ref)[mism]
+        # every mismatch is either a 1-ulp rounding flip or lives on the
+        # negligible-magnitude negative tail
+        bad = (ud > 1) & (np.abs(refv) > 1.5e-5)
+        assert not bad.any(), (
+            f"{bad.sum()} mismatches beyond 1 ulp at non-tail magnitudes")
+
+
+def test_fast_erf_tail_and_saturation_bf16():
+    """Deep tail / saturated range: bf16 outputs match the erfc-based
+    reference to <=1 ulp (the erf path is 0.5*x*erfc(-x/sqrt2), which is
+    relatively accurate down to denormal magnitudes)."""
+    x = jnp.asarray([-12.0, -8.0, -6.5, -5.6, -5.0, 5.6, 8.0, 40.0],
+                    jnp.float32)
+    rb = _bf16_bits(gelu(x, "erf"))
+    cb = _bf16_bits(gelu_fast_erf(x))
+    assert (np.abs(_mono(rb) - _mono(cb)) <= 1).all(), (
+        np.asarray(gelu(x, "erf")), np.asarray(gelu_fast_erf(x)))
+
+
+def test_fast_erf_grad_matches_erf_grad():
+    x = jnp.asarray(np.linspace(-6, 6, 4001), jnp.float32)
+    g_ref = jax.grad(lambda v: jnp.sum(gelu(v, "erf")))(x)
+    g_fast = jax.grad(lambda v: jnp.sum(gelu_fast_erf(v)))(x)
+    # custom backward: A&S cdf + shared-exp pdf vs XLA's AD of erf
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               atol=5e-7)
+
+
+def test_fast_erf_grad_bf16_dtype_preserved():
+    x = jnp.asarray(np.linspace(-3, 3, 64), jnp.bfloat16)
+    g = jax.grad(lambda v: jnp.sum(gelu_fast_erf(v).astype(jnp.float32)))(x)
+    assert g.dtype == jnp.bfloat16
+    g_ref = jax.grad(
+        lambda v: jnp.sum(gelu(v, "erf").astype(jnp.float32)))(x)
+    np.testing.assert_allclose(np.asarray(g, np.float32),
+                               np.asarray(g_ref, np.float32), atol=2e-2)
+
+
+def test_dispatch():
+    x = jnp.asarray(np.linspace(-4, 4, 101), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(gelu(x, "tanh")),
+        np.asarray(jax.nn.gelu(x, approximate=True)))
+    np.testing.assert_array_equal(
+        np.asarray(gelu(x, "erf")),
+        np.asarray(jax.nn.gelu(x, approximate=False)))
+    with pytest.raises(ValueError):
+        gelu(x, "nope")
+
+
+def test_encoder_uses_configured_impl():
+    """fast_erf vs erf through the real TransformerLayer: outputs equal
+    to bf16 resolution."""
+    from multimodal_sequencing_tpu.models.config import EncoderConfig
+    from multimodal_sequencing_tpu.models.encoder import TextEncoder
+
+    outs = {}
+    for impl in ("erf", "fast_erf"):
+        cfg = EncoderConfig.tiny(gelu_impl=impl)
+        model = TextEncoder(cfg)
+        ids = jnp.asarray(
+            np.random.RandomState(0).randint(0, 1000, (2, 16)), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids,
+                            deterministic=True)["params"]
+        seq, pooled = model.apply({"params": params}, ids,
+                                  deterministic=True)
+        outs[impl] = np.asarray(seq, np.float32)
+    np.testing.assert_allclose(outs["fast_erf"], outs["erf"],
+                               atol=1e-5, rtol=1e-5)
