@@ -88,18 +88,23 @@ class _StoryDatasetBase:
         ii, am, tt = self.packer.pack_story(texts)
         return {"input_ids": ii, "attention_mask": am, "token_type_ids": tt}
 
+    def _load_images(self, paths):
+        """Image stack in the configured pipeline layout: uint8 HWC for the
+        on-device normalize tail (default; 4x less H2D traffic) or float32
+        CHW host preprocessing (reference-parity numerics)."""
+        if self.uint8_images:
+            from .images import load_image_stack_uint8
+            return load_image_stack_uint8(paths, self.image_size)
+        return load_image_stack(paths, self.image_size)
+
     def _images(self, img_paths, n_steps):
-        """(max_story_length, 3, H, W) zero-padded image stack + sidecars."""
+        """(max_story_length, ...) zero-padded image stack + sidecars."""
         out: Dict[str, Any] = {}
         if not self.multimodal:
             return out
         paths = list(img_paths or [None] * n_steps)
         paths += [None] * (self.max_story_length - len(paths))
-        if self.uint8_images:
-            from .images import load_image_stack_uint8
-            out["images"] = load_image_stack_uint8(paths, self.image_size)
-        else:
-            out["images"] = load_image_stack(paths, self.image_size)
+        out["images"] = self._load_images(paths)
         if self.num_img_regional_features:
             feats = []
             ok = True
@@ -142,7 +147,7 @@ class PairwiseDataset(_StoryDatasetBase):
         return item
 
     def _images_pair(self, paths):
-        out = {"images": load_image_stack(paths, self.image_size)}
+        out = {"images": self._load_images(paths)}
         if self.num_img_regional_features:
             feats = [load_maskrcnn_sidecar(p, self.num_img_regional_features)
                      if p else None for p in paths]
@@ -180,7 +185,7 @@ class AbductiveDataset(_StoryDatasetBase):
         item["guid"] = ex.guid
         if self.multimodal:
             paths = [ex.img_path_h1, ex.img_path_h2, ex.img_path_h3]
-            item["images"] = load_image_stack(paths, self.image_size)
+            item["images"] = self._load_images(paths)
         return item
 
 
@@ -268,10 +273,9 @@ class RetrievalDataset(_StoryDatasetBase):
         item["guid"] = f"{ex.guid}###{skip}"
         item["skip_idx"] = np.int32(skip)
         if self.multimodal and ex.img_path_seq is not None:
-            item["images"] = load_image_stack(
+            item["images"] = self._load_images(
                 [ex.img_path_seq[i] for i in kept]
-                + [None] * (self.max_story_length - len(kept)),
-                self.image_size)
+                + [None] * (self.max_story_length - len(kept)))
         return item
 
     def candidates_list(self):
@@ -293,8 +297,7 @@ class RetrievalDataset(_StoryDatasetBase):
                     "guid": f"{ex.guid}###{j}",
                 }
                 if self.multimodal and ex.img_path_seq is not None:
-                    item["images"] = load_image_stack(
-                        [ex.img_path_seq[j]], self.image_size)
+                    item["images"] = self._load_images([ex.img_path_seq[j]])
                 out.append(item)
         return out
 

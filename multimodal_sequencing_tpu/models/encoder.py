@@ -50,7 +50,7 @@ class SelfAttention(nn.Module):
                         and cfg.attention_probs_dropout_prob > 0.0)
         if prob_dropout:
             from ..ops.attention import flash_eligible
-            if cfg.use_pallas_attention and flash_eligible(s):
+            if cfg.use_pallas_attention and flash_eligible(s, training=True):
                 # long sequences: probs dropout fused INTO the flash
                 # kernel (counter-based keep bits, regenerated in the
                 # Pallas backward) — same semantics, no S x S buffer.

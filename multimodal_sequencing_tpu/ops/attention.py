@@ -402,17 +402,23 @@ def _use_pallas() -> bool:
     return pltpu is not None and jax.default_backend() == "tpu"
 
 
-# Below this sequence length XLA's fused attention wins on v5e (see module
-# docstring measurements); the flash kernel (with its Pallas backward)
-# wins past the crossover and is the only path that runs at S>=8192.
-PALLAS_MIN_SEQ = 2048
+# Crossovers measured on v5e (scripts/microbench_flash_dropout.py,
+# B=2 H=16 D=64 bf16, dropout_p=0.1): forward-only XLA wins until ~2048
+# (S=1024: xla 2.03ms vs flash 3.22); fwd+bwd the flash kernel (Pallas
+# backward, dropout bits regenerated instead of an S x S mask round-trip)
+# already wins at 1024 (2.85 vs 4.37ms) and is 2x at 2048 (6.72 vs
+# 13.46). The flash path is also the only one that runs at S>=8192.
+PALLAS_MIN_SEQ = 2048         # forward-only (eval) crossover
+PALLAS_MIN_SEQ_TRAIN = 1024   # fwd+bwd (training) crossover
 
 
-def flash_eligible(s: int) -> bool:
+def flash_eligible(s: int, training: bool = False) -> bool:
     """True when the flash kernel would take this sequence length (used
     by the encoder to route faithful probs-dropout training through the
-    fused kernel instead of materializing the S x S probs)."""
-    return _use_pallas() and s % 512 == 0 and s >= PALLAS_MIN_SEQ
+    fused kernel instead of materializing the S x S probs). `training`
+    selects the fwd+bwd crossover, which sits lower than forward-only."""
+    floor = PALLAS_MIN_SEQ_TRAIN if training else PALLAS_MIN_SEQ
+    return _use_pallas() and s % 512 == 0 and s >= floor
 
 
 def multihead_attention(q, k, v, mask=None, bias=None,
@@ -424,8 +430,9 @@ def multihead_attention(q, k, v, mask=None, bias=None,
     into the flash kernel; the XLA fallback materializes the probs and
     applies jax.random dropout (caller's responsibility there)."""
     s = q.shape[2]
-    if (not force_reference and flash_eligible(s) and bias is None
-            and q.shape == k.shape == v.shape):
+    if (not force_reference
+            and flash_eligible(s, training=dropout_p > 0.0)
+            and bias is None and q.shape == k.shape == v.shape):
         if mask is None:
             mask = jnp.ones((q.shape[0], s), jnp.int32)
         if dropout_p > 0.0:

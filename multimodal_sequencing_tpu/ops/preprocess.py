@@ -36,7 +36,8 @@ def preprocess_uint8_images(images_u8: jax.Array,
     h, w = size
     x = images_u8.reshape((-1,) + images_u8.shape[-3:]).astype(jnp.float32)
     x = x / 255.0
-    x = jax.image.resize(x, (x.shape[0], h, w, 3), method="bilinear")
+    if images_u8.shape[-3:-1] != (h, w):  # dataset loaders ship pre-sized
+        x = jax.image.resize(x, (x.shape[0], h, w, 3), method="bilinear")
     x = (x - IMAGENET_MEAN) / IMAGENET_STD
     if to_chw:
         x = jnp.transpose(x, (0, 3, 1, 2))

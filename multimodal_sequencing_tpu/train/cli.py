@@ -79,9 +79,13 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
         help="replay the reference's byte-order RN50 attnpool fold "
              "(model.py:76-77) for importing reference-finetuned "
              "checkpoints; default is the clean per-image patch fold")
-    add("--device_image_preprocess", action="store_true",
-        help="ship uint8 images and normalize on device "
-             "(4x less H2D traffic)")
+    add("--device_image_preprocess", action="store_true", default=True,
+        help="ship uint8 images and normalize on device (4x less H2D "
+             "traffic; the default — the flag is kept for compatibility)")
+    add("--host_image_preprocess", dest="device_image_preprocess",
+        action="store_false",
+        help="host float32 CHW preprocessing (reference-parity skimage/cv2 "
+             "numerics, `datasets/img_utils.py`); 4x more H2D traffic")
 
     # --- heads / decoding ----------------------------------------------------
     add("--hierarchical_version", type=str, default="v0",
@@ -399,7 +403,7 @@ def _dataset_common(args):
         min_story_length=args.min_story_length,
         seed=args.seed, multimodal=args.multimodal,
         image_size=(args.vision_image_size, args.vision_image_size),
-        uint8_images=getattr(args, "device_image_preprocess", False),
+        uint8_images=getattr(args, "device_image_preprocess", True),
         num_img_regional_features=args.include_num_img_regional_features)
 
 

@@ -13,8 +13,11 @@ Run on the real chip: `python scripts/microbench_flash_dropout.py`.
 
 import functools
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -227,6 +227,42 @@ def test_multimodal_dataset_images(wikihow_dir, tokenizer):
     assert np.abs(item["images"]).max() > 0
 
 
+def test_uint8_image_pipeline_default(wikihow_dir, tokenizer):
+    """--device_image_preprocess (uint8 HWC + on-device normalize tail) is
+    the CLI default; --host_image_preprocess restores the reference-parity
+    float CHW host pipeline. Every multimodal dataset family honors the
+    switch, including the non-story pairwise/abductive/retrieval loaders."""
+    from multimodal_sequencing_tpu.train.cli import build_parser
+    base = ["--model_name_or_path", "simple", "--output_dir", "/tmp/x"]
+    assert build_parser("train").parse_args(
+        base).device_image_preprocess is True
+    assert build_parser("train").parse_args(
+        base + ["--host_image_preprocess"]).device_image_preprocess is False
+
+    kw = dict(max_length=96, per_seq_max_length=16, multimodal=True,
+              image_size=(32, 32), uint8_images=True, seed=1)
+    item = HeadPredDataset(_head_examples(wikihow_dir), tokenizer, **kw)[0]
+    assert item["images"].shape == (5, 32, 32, 3)
+    assert item["images"].dtype == np.uint8
+    assert item["images"].max() > 0
+
+    proc = WikiHowPairWiseProcessor(data_dir=wikihow_dir)
+    pitem = PairwiseDataset(proc.get_dev_examples(), tokenizer,
+                            processor=proc, **kw)[0]
+    assert pitem["images"].shape == (2, 32, 32, 3)
+    assert pitem["images"].dtype == np.uint8
+
+    aproc = WikiHowAbductiveProcessor(data_dir=wikihow_dir)
+    aitem = AbductiveDataset(aproc.get_dev_examples(), tokenizer, **kw)[0]
+    assert aitem["images"].shape == (3, 32, 32, 3)
+    assert aitem["images"].dtype == np.uint8
+
+    from multimodal_sequencing_tpu.data import RetrievalDataset
+    rds = RetrievalDataset(_head_examples(wikihow_dir), tokenizer, **kw)
+    assert rds[0]["images"].dtype == np.uint8
+    assert rds.candidates_list()[0]["images"].dtype == np.uint8
+
+
 def test_data_loader_static_shapes(wikihow_dir, tokenizer):
     ex = _head_examples(wikihow_dir)  # 6 stories
     ds = HeadPredDataset(ex, tokenizer, max_length=128, per_seq_max_length=16,
