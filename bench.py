@@ -433,6 +433,7 @@ def main():
         line["berson_train_mfu"] = results["berson"]["train_mfu"]
         line["berson_beam16_stories_per_sec"] = (
             results["berson"]["beam16_stories_per_sec"])
+        line["berson_beam16_mfu"] = results["berson"]["beam16_mfu"]
     if errors:
         line["errors"] = errors
     print(json.dumps(line))

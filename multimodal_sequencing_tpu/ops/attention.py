@@ -308,8 +308,7 @@ def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = 512,
     `o` and per-row logsumexp `lse`. With dropout_p > 0 the forward's
     keep-mask regenerates from the same (seed, row, col) counters."""
     b, h, s, d = q.shape
-    block_q = min(block_q, s)
-    block_k = min(block_k, s)
+    block_q = block_k = _block_for(s) or s
     bh = b * h
     mask3 = mask.astype(jnp.int32).reshape(b, 1, s)
     qf, kf, vf, of, gf = (x.reshape(bh, s, d) for x in (q, k, v, o, g))
@@ -369,20 +368,45 @@ def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = 512,
 # ----- differentiable entry ---------------------------------------------------
 
 
+def _block_for(s: int):
+    """Block size for sequence length s (None if s isn't a 128-multiple;
+    callers pad odd lengths via `_pad_to_block` first). Short rows run as
+    ONE whole-row program per (batch, head) — splitting e.g. S=640 into
+    five 128-blocks multiplies grid overhead and starves the MXU (measured
+    10x slower on the multimodal joint stream). Long rows use the largest
+    <=512 divisor; 896 caps the whole-row s-matrix + backward live set
+    comfortably inside VMEM."""
+    if s % 128 != 0:
+        return None
+    if s <= 896:
+        return s
+    for blk in (512, 384, 256, 128):
+        if s % blk == 0:
+            return blk
+    return None
+
+
+def _pad_to_block(s: int) -> int:
+    """Next sequence length >= s that the kernels accept."""
+    return ((s + 127) // 128) * 128
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _flash_attention_ad(q, k, v, mask, seed, dropout_p=0.0,
                         interpret=False):
     """Differentiable flash attention; dropout_p > 0 fuses HF-style
     attention-probability dropout (seed: int32 scalar array)."""
     b, h, s, d = q.shape
-    o, _ = _fwd_pallas(q, k, v, mask, min(512, s), min(512, s), interpret,
+    blk = _block_for(s) or s
+    o, _ = _fwd_pallas(q, k, v, mask, blk, blk, interpret,
                        dropout_p=dropout_p, seed=seed)
     return o
 
 
 def _flash_fwd(q, k, v, mask, seed, dropout_p, interpret):
     b, h, s, d = q.shape
-    o, lse = _fwd_pallas(q, k, v, mask, min(512, s), min(512, s), interpret,
+    blk = _block_for(s) or s
+    o, lse = _fwd_pallas(q, k, v, mask, blk, blk, interpret,
                          dropout_p=dropout_p, seed=seed)
     return o, (q, k, v, mask, seed, o, lse)
 
@@ -406,19 +430,25 @@ def _use_pallas() -> bool:
 # B=2 H=16 D=64 bf16, dropout_p=0.1): forward-only XLA wins until ~2048
 # (S=1024: xla 2.03ms vs flash 3.22); fwd+bwd the flash kernel (Pallas
 # backward, dropout bits regenerated instead of an S x S mask round-trip)
-# already wins at 1024 (2.85 vs 4.37ms) and is 2x at 2048 (6.72 vs
-# 13.46). The flash path is also the only one that runs at S>=8192.
-PALLAS_MIN_SEQ = 2048         # forward-only (eval) crossover
-PALLAS_MIN_SEQ_TRAIN = 1024   # fwd+bwd (training) crossover
-
-
+# wins from S=512 already (1.54 vs 1.93ms; 2.85 vs 4.37 at 1024; 2x at
+# 2048). The flash path is also the only one that runs at S>=8192.
+PALLAS_MIN_SEQ = 2048        # forward-only (eval) crossover
+PALLAS_MIN_SEQ_TRAIN = 512   # fwd+bwd (training) crossover
 def flash_eligible(s: int, training: bool = False) -> bool:
     """True when the flash kernel would take this sequence length (used
     by the encoder to route faithful probs-dropout training through the
     fused kernel instead of materializing the S x S probs). `training`
-    selects the fwd+bwd crossover, which sits lower than forward-only."""
+    selects the fwd+bwd crossover, which sits lower than forward-only.
+
+    Only NATIVE 128-multiple lengths dispatch here: padding odd lengths
+    to the next 128 multiple was measured a net loss on v5e — the
+    multimodal joint stream (S=566 -> 640, whole-row blocks, fused
+    dropout) ran the full train step at 92.8ms vs 87.8ms on the XLA
+    probs path; the (640/566)^2 extra FLOPs eat the fused-dropout win.
+    The padding path in `multihead_attention` stays for callers that
+    opt in explicitly."""
     floor = PALLAS_MIN_SEQ_TRAIN if training else PALLAS_MIN_SEQ
-    return _use_pallas() and s % 512 == 0 and s >= floor
+    return _use_pallas() and s % 128 == 0 and s >= floor
 
 
 def multihead_attention(q, k, v, mask=None, bias=None,
@@ -435,14 +465,21 @@ def multihead_attention(q, k, v, mask=None, bias=None,
             and bias is None and q.shape == k.shape == v.shape):
         if mask is None:
             mask = jnp.ones((q.shape[0], s), jnp.int32)
+        sp = _pad_to_block(s)
+        if sp != s:  # pad keys masked off; pad query rows sliced away
+            pad = ((0, 0), (0, 0), (0, sp - s), (0, 0))
+            q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+            mask = jnp.pad(mask.astype(jnp.int32), ((0, 0), (0, sp - s)))
         if dropout_p > 0.0:
             if dropout_rng is None:
                 raise ValueError("dropout_p > 0 needs dropout_rng")
             seed = jax.random.randint(
                 dropout_rng, (), -2**31, 2**31 - 1, dtype=jnp.int32)
-            return _flash_attention_ad(q, k, v, mask, seed,
-                                       dropout_p=dropout_p)
-        return _flash_attention_ad(q, k, v, mask, jnp.int32(0))
+            out = _flash_attention_ad(q, k, v, mask, seed,
+                                      dropout_p=dropout_p)
+        else:
+            out = _flash_attention_ad(q, k, v, mask, jnp.int32(0))
+        return out[:, :, :s, :] if sp != s else out
     if dropout_p > 0.0:
         raise ValueError(
             "multihead_attention only fuses dropout on the flash path; "

@@ -195,3 +195,63 @@ def test_attention_dropout_modes():
                                atol=1e-6)  # eval identical
     assert not np.allclose(outs["probs"][1], outs["folded"][1])
 
+
+
+def test_block_for_and_pad():
+    from multimodal_sequencing_tpu.ops.attention import (
+        _block_for, _pad_to_block)
+    assert _block_for(512) == 512 and _block_for(1024) == 512
+    assert _block_for(640) == 640 and _block_for(768) == 768  # whole row
+    assert _block_for(1152) == 384 and _block_for(200) is None
+    assert _pad_to_block(566) == 640 and _pad_to_block(512) == 512
+
+
+def test_flash_padded_odd_length():
+    """Odd sequence lengths run through the kernels by padding to the next
+    128 multiple (dispatch in multihead_attention): padded keys are masked
+    off, padded query rows sliced away, and gradients to the padding are
+    exactly zero — so fwd+grads on the first `s` rows match the unpadded
+    XLA reference (the multimodal joint stream, e.g. S=566, takes this
+    path on TPU)."""
+    s, sp = 200, 256
+    q, k, v, mask = _inputs(b=2, h=2, s=s, d=16, seed=9)
+    pad = ((0, 0), (0, 0), (0, sp - s), (0, 0))
+    qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
+    maskp = jnp.pad(mask, ((0, 0), (0, sp - s)))
+
+    want = attention_reference(q, k, v, mask=mask)
+    got = _flash_attention_ad(qp, kp, vp, maskp, jnp.int32(0), 0.0, True)
+    np.testing.assert_allclose(np.asarray(got[:, :, :s]), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(jnp.sin(attention_reference(q, k, v, mask=mask)))
+
+    def flash_loss(qp, kp, vp):
+        out = _flash_attention_ad(qp, kp, vp, maskp, jnp.int32(0), 0.0,
+                                  True)
+        return jnp.sum(jnp.sin(out[:, :, :s]))
+
+    want_g = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    got_g = jax.grad(flash_loss, argnums=(0, 1, 2))(qp, kp, vp)
+    for g, w, name in zip(got_g, want_g, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g[:, :, :s]), np.asarray(w), atol=5e-5, rtol=5e-4,
+            err_msg=f"d{name} mismatch")
+        assert np.all(np.asarray(g[:, :, s:]) == 0.0), f"d{name} pad leak"
+
+
+def test_flash_padded_dropout_matches_oracle():
+    """Same padded path with fused probs dropout: sliced fwd rows match the
+    host keep-bit oracle computed at the PADDED length (the bits are a
+    function of the padded counter grid)."""
+    s, sp = 72, 128
+    q, k, v, mask = _inputs(b=1, h=2, s=s, d=16, seed=11)
+    pad = ((0, 0), (0, 0), (0, sp - s), (0, 0))
+    qp, kp, vp = (jnp.pad(x, pad) for x in (q, k, v))
+    maskp = jnp.pad(mask, ((0, 0), (0, sp - s)))
+    seed, p = 4242, 0.25
+    got = _flash_attention_ad(qp, kp, vp, maskp, jnp.int32(seed), p, True)
+    want = _dropped_reference(qp, kp, vp, maskp, seed, p)
+    np.testing.assert_allclose(np.asarray(got[:, :, :s]), want[:, :, :s],
+                               atol=3e-5, rtol=3e-5)
