@@ -245,7 +245,16 @@ class BersonOrdering(nn.Module):
 
     # ----- encoding ----------------------------------------------------------
 
-    def encode(self, batch, deterministic: bool = True):
+    def encode(self, batch, deterministic: bool = True, trunk_out=None):
+        """`trunk_out` — a precomputed (B*P, L, H) inner-encoder sequence
+        output — optionally replaces the inner TEXT encoder application:
+        the hook the pipelined train step
+        (`parallel/pipeline.py::make_berson_pipeline_train_step`) uses to
+        run the layer stack through GPipe OUTSIDE this module (flax
+        forbids constructing submodules inside a foreign apply) while the
+        module keeps the hierarchical attention / pointer logic. Text
+        only: the multimodal inner encoders fuse vision inside the
+        trunk."""
         cfg = self.cfg
         n = cfg.max_story_length
         input_ids = batch["input_ids"]          # (B, P, L)
@@ -254,6 +263,10 @@ class BersonOrdering(nn.Module):
         ids = flat(input_ids)
         attn = flat(batch["attention_mask"])
         types = flat(batch["token_type_ids"])
+        if trunk_out is not None and cfg.multimodal:
+            raise NotImplementedError(
+                "trunk_out replaces the plain text trunk; multimodal "
+                "inner encoders cannot be pipelined this way")
         visn_cls = None
         # text_part: the text-only ablation must not feed the vision tower
         if (cfg.multimodal and not cfg.multimodal_text_part
@@ -277,6 +290,8 @@ class BersonOrdering(nn.Module):
                 if visn is not None:
                     # image-stream CLS (`modeling_bert.py:1273-1275,1293`)
                     visn_cls = visn[:, 0].reshape(b, p, -1)
+        elif trunk_out is not None:
+            lang = trunk_out
         else:
             out = self.inner(ids, attn, types, deterministic=deterministic)
             lang = out["sequence_output"] if isinstance(out, dict) else out[0]
@@ -341,10 +356,10 @@ class BersonOrdering(nn.Module):
 
     # ----- training ----------------------------------------------------------
 
-    def __call__(self, batch, deterministic: bool = True):
+    def __call__(self, batch, deterministic: bool = True, trunk_out=None):
         cfg = self.cfg
         n = cfg.max_story_length
-        enc = self.encode(batch, deterministic)
+        enc = self.encode(batch, deterministic, trunk_out=trunk_out)
         doc, key = enc["doc"], enc["key"]
         mask_cls = enc["mask_cls"]
         target = batch["ground_truth"].astype(jnp.int32)  # (B, N) chain

@@ -308,3 +308,80 @@ def make_pipeline_train_step(cfg, mesh, n_stages: int, n_micro: int,
         donate_argnums=(0,) if donate else ())
     # forward exposed for parity tests against the sequential program
     return jitted, forward
+
+
+def make_berson_pipeline_train_step(cfg, mesh, n_stages: int, n_micro: int,
+                                    donate: bool = True, fsdp: bool = False,
+                                    state_shardings=None,
+                                    fsdp_min_elems: int = _FSDP_MIN_ELEMS):
+    """Pipelined analogue of `train/steps.make_berson_train_step`: the
+    BERSON wrapper's inner TEXT trunk (embeddings + the transformer layer
+    stack, by far the FLOPs bulk — 20 packed pairs/story through a
+    roberta-large-class encoder) runs through `gpipe_layers` over the mesh
+    model axis, while the wrapper keeps its hierarchical attention /
+    inter-encoder / relational pointer logic via the `trunk_out` hook on
+    `BersonOrdering.__call__` (the trunk is computed OUTSIDE model.apply —
+    flax forbids constructing submodules inside a foreign apply — and the
+    precomputed (B*P, L, H) sequence output is passed in; gradients flow
+    to the inner params through the closure). Multimodal inner encoders
+    fuse vision
+    inside the trunk and stay on dp/tp/fsdp (reject loudly). fsdp=True
+    composes ZeRO data-axis sharding exactly as in
+    `make_pipeline_train_step` (pass matching `state_shardings` built
+    with apply_tp=False)."""
+    from ..models.encoder import Embeddings
+
+    if cfg.multimodal:
+        raise NotImplementedError(
+            "pipeline parallelism covers the BERSON text trunk; "
+            "multimodal inner encoders train with dp/tp/fsdp")
+    if mesh.shape[PIPE_AXIS] != n_stages:
+        raise ValueError(
+            f"mesh {PIPE_AXIS} axis is {mesh.shape[PIPE_AXIS]}, "
+            f"pipeline stages {n_stages} — build the mesh with "
+            f"n_model=pipeline_parallel_size")
+    ecfg = cfg.encoder
+    emb = Embeddings(ecfg)
+
+    def step(state, batch, rng):
+        if state.model_state:
+            raise NotImplementedError(
+                "pipelined BERSON step does not thread mutable "
+                f"model_state collections: {list(state.model_state)}")
+        rng = jax.random.fold_in(rng, state.step)
+        r_emb, r_layers, r_rest = jax.random.split(rng, 3)
+
+        ids3 = batch["input_ids"]               # (B, P, L)
+        b, p_, L = ids3.shape
+        flat = lambda x: x.reshape((b * p_,) + x.shape[2:])
+        ids = flat(ids3)
+        attn = flat(batch["attention_mask"])
+        types = flat(batch["token_type_ids"])
+
+        def loss_fn(p):
+            enc_p = p["inner"]
+            stacked = stack_layer_params(enc_p, ecfg.num_hidden_layers,
+                                         n_stages)
+            x = emb.apply({"params": enc_p["embeddings"]}, ids, types,
+                          deterministic=False, rngs={"dropout": r_emb})
+            lang = gpipe_layers(ecfg, stacked, x, attn, r_layers,
+                                n_stages, n_micro, mesh,
+                                deterministic=False, fsdp=fsdp,
+                                fsdp_min_elems=fsdp_min_elems)
+            out = state.apply_fn({"params": p}, batch, deterministic=False,
+                                 rngs={"dropout": r_rest}, trunk_out=lang)
+            return out["loss"], out
+
+        (loss, out), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, state.model_state), out
+
+    bs = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    st_in = state_shardings if state_shardings is not None else rep
+    jitted = jax.jit(
+        step,
+        in_shardings=(st_in, bs, rep),
+        out_shardings=(st_in, rep),
+        donate_argnums=(0,) if donate else ())
+    return jitted

@@ -708,12 +708,25 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     from ..data.datasets import data_loader
     from ..parallel.mesh import make_mesh, shard_batch
 
-    if max(1, getattr(args, "pipeline_parallel_size", 1)) > 1:
-        raise NotImplementedError(
-            "--pipeline_parallel_size pipelines the plain text encoder "
-            "stack (run_finetune); the BERSON wrapper trains with "
-            "dp/tp/sp/fsdp")
-    n_model = max(1, getattr(args, "model_parallel_size", 1))
+    n_pp = max(1, getattr(args, "pipeline_parallel_size", 1))
+    if n_pp > 1:
+        # the BERSON text trunk pipelines over the model axis — which TP
+        # and Megatron SP also consume, and the multimodal inner encoders
+        # fuse vision inside the trunk
+        if max(1, getattr(args, "model_parallel_size", 1)) > 1:
+            raise NotImplementedError(
+                "--pipeline_parallel_size and --model_parallel_size both "
+                "consume the mesh model axis — pick one for BERSON")
+        if getattr(cfg.encoder, "sequence_parallel", False):
+            raise NotImplementedError(
+                "--sequence_parallel is exclusive with the pipelined "
+                "BERSON trunk")
+        if cfg.multimodal:
+            raise NotImplementedError(
+                "pipelined BERSON covers the text trunk; multimodal "
+                "inner encoders train with dp/tp/fsdp")
+    n_model = n_pp if n_pp > 1 else max(
+        1, getattr(args, "model_parallel_size", 1))
     mesh = make_mesh(n_model=n_model)
     n_data = int(np.prod(mesh.devices.shape)) // n_model
     batch_size = args.per_gpu_train_batch_size * n_data
@@ -745,7 +758,21 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
     from .steps import make_berson_train_step
     seq_par = getattr(cfg.encoder, "sequence_parallel", False)
     fsdp = bool(getattr(args, "fsdp", False))
-    if n_model > 1 or fsdp:
+    if n_pp > 1:
+        from ..parallel.pipeline import make_berson_pipeline_train_step
+        n_micro = max(1, getattr(args, "pipeline_microbatches", 1) or n_pp)
+        st_sh = None
+        if fsdp:
+            from ..parallel.sharding_rules import (tree_shardings,
+                                                   shard_state)
+            st_sh = tree_shardings(state, mesh, fsdp=True, apply_tp=False)
+            state = shard_state(state, mesh, fsdp=True, apply_tp=False)
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        step_fn = make_berson_pipeline_train_step(
+            cfg, mesh, n_stages=n_pp, n_micro=n_micro, fsdp=fsdp,
+            state_shardings=st_sh)
+    elif n_model > 1 or fsdp:
         from ..parallel.sharding_rules import tree_shardings, shard_state
         st_sh = tree_shardings(state, mesh, fsdp=fsdp)
         state = shard_state(state, mesh, fsdp=fsdp)

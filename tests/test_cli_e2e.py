@@ -478,6 +478,20 @@ def test_train_with_sp_fsdp_and_cpu_devices_flag(wikihow_dir, tmp_path):
     assert state is not None
 
 
+def test_berson_cli_train_pipeline_parallel(wikihow_dir, tmp_path):
+    """BERSON wrapper training with the text trunk pipelined over pp2
+    (GPipe via trunk_out; parallel/pipeline.py)."""
+    out = str(tmp_path / "bersonpp")
+    state = main_train(_common(wikihow_dir, out, [
+        "--do_train", "--task_name", "wikihow_hl_v1",
+        "--wrapper_model_type", "berson", "--beam_size", "2",
+        "--pipeline_parallel_size", "2", "--pipeline_microbatches", "2",
+        "--per_gpu_train_batch_size", "1", "--max_steps", "2",
+        "--save_steps", "0", "--overwrite_output_dir",
+    ]))
+    assert state is not None
+
+
 def test_berson_cli_train_tp_sp_fsdp(wikihow_dir, tmp_path):
     """BERSON wrapper training under TP + SP + FSDP shardings."""
     out = str(tmp_path / "bersonpar")

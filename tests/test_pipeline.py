@@ -157,3 +157,100 @@ def test_pipeline_guards(wikihow_dir, tokenizer):
     cfg_mm = MultimodalConfig(encoder=cfg.encoder, multimodal=True)
     with pytest.raises(NotImplementedError):
         make_pipeline_train_step(cfg_mm, mesh, n_stages=2, n_micro=2)
+
+
+# ----- pipelined BERSON (trunk_fn hook) ---------------------------------------
+
+
+def _berson_setup(n_layers=2, b=4, n=4):
+    from multimodal_sequencing_tpu.data.packing import StoryPacker
+    from multimodal_sequencing_tpu.data.tokenization import (
+        SimpleWordTokenizer)
+    from multimodal_sequencing_tpu.models.berson import BersonOrdering
+
+    enc = EncoderConfig.tiny(max_position_embeddings=100,
+                             num_hidden_layers=n_layers)
+    cfg = MultimodalConfig(encoder=enc, max_story_length=n,
+                           max_seq_length=64, per_seq_max_length=8)
+    tok = SimpleWordTokenizer(vocab_size=enc.vocab_size)
+    cfg.cls_id, cfg.pad_id = 0, 1
+    packer = StoryPacker(tok, cfg.max_seq_length, cfg.per_seq_max_length)
+    rng = np.random.RandomState(7)
+    items = []
+    for k in range(b):
+        texts = [f"alpha {k} beta {i} gamma delta" for i in range(n)]
+        item = packer.pack_berson_story(texts, rng.permutation(n).tolist())
+        items.append(item)
+    batch = {k: jnp.asarray(np.stack([it[k] for it in items]))
+             for k in items[0]}
+    model = BersonOrdering(cfg)
+    params = dict(model.init(jax.random.PRNGKey(0), batch))["params"]
+    return cfg, model, params, batch
+
+
+def _det_trunk_out(cfg, params, batch, mesh, n_stages, n_micro):
+    from multimodal_sequencing_tpu.models.encoder import Embeddings
+    from multimodal_sequencing_tpu.parallel.pipeline import gpipe_layers
+    emb = Embeddings(cfg.encoder)
+    enc_p = params["inner"]
+    stacked = stack_layer_params(enc_p, cfg.encoder.num_hidden_layers,
+                                 n_stages)
+    ids3 = batch["input_ids"]
+    b, p, L = ids3.shape
+    flat = lambda x: x.reshape((b * p,) + x.shape[2:])
+    x = emb.apply({"params": enc_p["embeddings"]}, flat(ids3),
+                  flat(batch["token_type_ids"]), deterministic=True)
+    return gpipe_layers(cfg.encoder, stacked, x,
+                        flat(batch["attention_mask"]),
+                        jax.random.PRNGKey(0), n_stages, n_micro, mesh,
+                        deterministic=True)
+
+
+def test_berson_pipeline_forward_matches_sequential():
+    """BERSON loss with the GPipe trunk_out equals the plain sequential
+    wrapper loss exactly (deterministic: microbatching + staging change
+    no math)."""
+    cfg, model, params, batch = _berson_setup()
+    mesh = make_mesh(n_data=4, n_model=2)
+    want = model.apply({"params": params}, batch, deterministic=True)
+    lang = _det_trunk_out(cfg, params, batch, mesh, n_stages=2, n_micro=2)
+    got = model.apply({"params": params}, batch, deterministic=True,
+                      trunk_out=lang)
+    np.testing.assert_allclose(float(got["loss"]), float(want["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["pointer_logits"]),
+                               np.asarray(want["pointer_logits"]),
+                               atol=1e-5)
+
+
+def test_berson_pipeline_train_step_descends():
+    from multimodal_sequencing_tpu.parallel.pipeline import (
+        make_berson_pipeline_train_step)
+    from multimodal_sequencing_tpu.train.state import (TrainState,
+                                                       make_optimizer)
+
+    cfg, model, params, batch = _berson_setup()
+    mesh = make_mesh(n_data=4, n_model=2)
+    tx = make_optimizer(learning_rate=1e-3, warmup_steps=2, total_steps=60)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params), model_state={},
+                       tx=tx, apply_fn=model.apply)
+    step = make_berson_pipeline_train_step(cfg, mesh, n_stages=2, n_micro=2)
+    db = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    rng = jax.random.PRNGKey(3)
+    losses = []
+    for _ in range(12):
+        state, out = step(state, db, rng)
+        losses.append(float(out["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_berson_pipeline_rejects_multimodal():
+    from multimodal_sequencing_tpu.parallel.pipeline import (
+        make_berson_pipeline_train_step)
+    cfg, _, _, _ = _berson_setup()
+    cfg.multimodal = True
+    mesh = make_mesh(n_data=4, n_model=2)
+    with pytest.raises(NotImplementedError):
+        make_berson_pipeline_train_step(cfg, mesh, n_stages=2, n_micro=2)
