@@ -158,7 +158,11 @@ def bench_text(n_dev, fast=False):
             "flops_per_story": flops / (bpc * n_dev) if flops else None}
 
 
-def bench_multimodal(n_dev):
+def bench_multimodal(n_dev, fast=False):
+    """fast=True (BENCH_MODE=multimodal_fast, opt-in — not part of "all")
+    runs the tanh/folded semantics: at the ~566-token joint stream the
+    faithful probs-dropout path materializes S x S buffers every layer,
+    so the fast variant quantifies that cost on the multimodal family."""
     import jax
     from __graft_entry__ import _flagship_cfg, _synth_batch
     from multimodal_sequencing_tpu.models.clip_visual import CLIPVisionConfig
@@ -168,7 +172,7 @@ def bench_multimodal(n_dev):
         make_train_state, make_optimizer)
     from multimodal_sequencing_tpu.train.steps import make_train_step
 
-    cfg = _flagship_cfg(tiny=_tiny())
+    cfg = _flagship_cfg(tiny=_tiny(), fast=fast)
     cfg.multimodal = True
     cfg.multimodal_model_type = "clip"
     cfg.clip_model_name = "RN50"
@@ -191,7 +195,8 @@ def bench_multimodal(n_dev):
     step_c, flops = _compile_with_flops(step, state, dbatch, rng)
     dt, state = _time_train(step_c, state, dbatch, rng, iters=15, warmup=5)
     per_chip = bpc / dt
-    _log(f"multimodal: {per_chip:.1f} stories/s/chip ({dt*1e3:.1f}ms/step)")
+    name = "multimodal-fast" if fast else "multimodal"
+    _log(f"{name}: {per_chip:.1f} stories/s/chip ({dt*1e3:.1f}ms/step)")
     return {"stories_per_sec_per_chip": round(per_chip, 2),
             "mfu": _mfu(flops, dt, n_dev)}
 
@@ -361,6 +366,8 @@ def main():
         _try("text_fast", lambda: bench_text(n_dev, fast=True))
     if mode in ("all", "multimodal"):
         _try("multimodal", lambda: bench_multimodal(n_dev))
+    if mode == "multimodal_fast":  # opt-in: not part of "all"
+        _try("multimodal", lambda: bench_multimodal(n_dev, fast=True))
     if mode in ("all", "berson"):
         _try("berson", lambda: bench_berson(n_dev))
     if not results:
@@ -369,6 +376,8 @@ def main():
         return
 
     semantics = "hf_faithful_cli_default"
+    if mode == "multimodal_fast":
+        semantics = "fast_tanh_gelu_folded_dropout"
     if "text" in results:
         primary_name = "train_stories_per_sec_per_chip"
         primary = results["text"]["stories_per_sec_per_chip"]
