@@ -301,14 +301,19 @@ def _flash_bwd_dkv_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "block_k", "interpret",
                                     "dropout_p"))
-def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = 512,
-                        block_k: int = 512, interpret: bool = False,
+def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = None,
+                        block_k: int = None, interpret: bool = False,
                         dropout_p: float = 0.0, seed=None):
     """Pallas flash backward: (dq, dk, dv) from the saved forward output
     `o` and per-row logsumexp `lse`. With dropout_p > 0 the forward's
-    keep-mask regenerates from the same (seed, row, col) counters."""
+    keep-mask regenerates from the same (seed, row, col) counters.
+    block_q/block_k default to `_block_for(s)` (whole-row for short
+    rows); explicit values are honored (tests force multi-block)."""
     b, h, s, d = q.shape
-    block_q = block_k = _block_for(s) or s
+    if block_q is None or block_k is None:
+        block_q = block_k = _block_for(s) or s
+    else:
+        block_q, block_k = min(block_q, s), min(block_k, s)
     bh = b * h
     mask3 = mask.astype(jnp.int32).reshape(b, 1, s)
     qf, kf, vf, of, gf = (x.reshape(bh, s, d) for x in (q, k, v, o, g))

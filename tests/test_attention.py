@@ -255,3 +255,26 @@ def test_flash_padded_dropout_matches_oracle():
     want = _dropped_reference(qp, kp, vp, maskp, seed, p)
     np.testing.assert_allclose(np.asarray(got[:, :, :s]), want[:, :, :s],
                                atol=3e-5, rtol=3e-5)
+
+
+def test_flash_ad_multiblock_default_s1024():
+    """The DEFAULT block choice multiblocks at s=1024 (block 512, two
+    k/q blocks per row) — covers the fori_loop accumulations through the
+    custom-vjp entry, since short rows now run whole-row."""
+    q, k, v, mask = _inputs(b=1, h=1, s=1024, d=8, seed=13)
+
+    def flash_loss(q, k, v):
+        out = _flash_attention_ad(q, k, v, mask, jnp.int32(0), 0.0, True)
+        return jnp.sum(jnp.sin(out))
+
+    def ref_loss(q, k, v):
+        return jnp.sum(jnp.sin(attention_reference(q, k, v, mask=mask)))
+
+    np.testing.assert_allclose(
+        float(flash_loss(q, k, v)), float(ref_loss(q, k, v)), rtol=1e-5)
+    got = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=5e-5, rtol=5e-4,
+            err_msg=f"d{name} mismatch")
