@@ -338,6 +338,22 @@ def main():
     # hardware RBG dropout bits instead of threefry (~15% step-time saving;
     # training-quality neutral)
     jax.config.update("jax_default_prng_impl", "rbg")
+    # Persistent compilation cache: a cold full bench spends 30+ min in
+    # XLA compiles (the BERSON beam alone is ~10); with the cache primed
+    # (any earlier bench run on this host) the whole suite re-runs in a
+    # few minutes, which keeps the driver's bounded round-end run from
+    # dying mid-compile. Verified to work through the axon tunnel.
+    cache_dir = os.environ.get("BENCH_COMPILE_CACHE",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0)
+        except Exception as e:  # noqa: BLE001 — cache is best-effort
+            _log(f"compilation cache unavailable: {e}")
     n_dev, init_err = _init_backend_guarded()
     if n_dev is None:
         print(json.dumps({"metric": "error", "value": 0,
@@ -351,10 +367,22 @@ def main():
 
     # Fault isolation per mode: a tunnel drop or OOM in one workload must
     # not lose the numbers already measured — the JSON line still prints
-    # with whatever completed, plus an `errors` field.
+    # with whatever completed, plus an `errors` field. A between-mode
+    # deadline guards the driver's bounded run the same way: if earlier
+    # modes ate the budget (cold compiles), later modes are SKIPPED (and
+    # flagged) so the JSON line still prints before the driver's kill —
+    # a bench killed mid-compile parses as nothing at all (BENCH_r02/r03).
     results, errors = {}, {}
+    t_start = time.time()
+    cutoff_s = float(os.environ.get("BENCH_MODE_CUTOFF_S", "1200"))
 
     def _try(name, fn):
+        if time.time() - t_start > cutoff_s:
+            errors[name] = (f"skipped: {time.time() - t_start:.0f}s elapsed "
+                            f"> BENCH_MODE_CUTOFF_S={cutoff_s:.0f} (cold "
+                            "compile cache?); rerun to hit the primed cache")
+            _log(f"{name} {errors[name]}")
+            return
         try:
             results[name] = fn()
         except Exception as e:  # noqa: BLE001 — report, don't die

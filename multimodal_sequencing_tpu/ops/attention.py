@@ -47,11 +47,19 @@ NEG_INF = -1e9  # matches the reference's -10000-style additive masks
 
 
 # ----- in-kernel dropout bits -------------------------------------------------
-# Counter-based keep-mask for attention-probability dropout inside the
-# flash kernels (HF-faithful "probs" mode at long sequences). A murmur3
-# finalizer over the (row, col) counter is used instead of pltpu's PRNG so
-# the same bits regenerate in the backward kernels AND in the Pallas
-# interpreter on CPU; statistical quality is ample for dropout.
+# Keep-mask generation for attention-probability dropout inside the flash
+# kernels (HF-faithful "probs" mode), two implementations:
+#   * bits_hw=True — the TPU hardware PRNG (`pltpu.prng_random_bits`),
+#     re-seeded per (batch*head, q-block, k-block) TILE so the dq and
+#     dk/dv kernels regenerate the forward's exact bits by re-deriving
+#     the same tile seed. Requires identical block decomposition in
+#     forward and backward (the custom-VJP path guarantees it via
+#     `_block_for`). Not available in the Pallas interpreter.
+#   * bits_hw=False — a murmur3 finalizer over the (row, col) counter:
+#     per-ELEMENT, so any block decomposition regenerates the same bits,
+#     and it runs under the CPU interpreter (the test oracle replicates
+#     it in numpy). int32-multiply hashing is slow on the VPU, so this
+#     is the fallback, not the TPU default.
 
 
 def _mix32(x):
@@ -79,6 +87,19 @@ def _seed_for_bh(seed, bh_index):
     return _mix32(seed + (bh_index + 1) * jnp.int32(668265263))
 
 
+def _hw_tile_bits(seed_bh, qb, kb, num_kb, block_q, block_k, keep_prob):
+    """(block_q, block_k) bool keep-mask from the TPU hardware PRNG.
+    Deterministic in (seed_bh, qb, kb): the per-core generator is
+    re-seeded for every tile, so forward and backward kernels that visit
+    the same absolute tile recover the same bits regardless of grid/loop
+    order."""
+    tile_id = qb * jnp.int32(num_kb) + kb
+    pltpu.prng_seed(_mix32(seed_bh + (tile_id + 1) * jnp.int32(40503)))
+    raw = pltpu.bitcast(pltpu.prng_random_bits((block_q, block_k)),
+                        jnp.uint32)
+    return raw < jnp.uint32(int(keep_prob * 4294967296.0))
+
+
 def attention_reference(q, k, v, mask: Optional[jax.Array] = None,
                         bias: Optional[jax.Array] = None):
     """XLA path. `mask`: (B, S) keep-mask over keys; `bias`: additive,
@@ -101,7 +122,7 @@ def attention_reference(q, k, v, mask: Optional[jax.Array] = None,
 
 def _flash_fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
                       lse_ref, *, block_k: int, seq_len: int, scale: float,
-                      dropout_p: float):
+                      dropout_p: float, bits_hw: bool = False):
     """One (batch*head, q-block) program: online softmax over K/V blocks.
     mask_ref is the (1, 1, S) key keep-mask for this batch row; lse_ref
     receives the per-q-row logsumexp (saved for the backward). With
@@ -133,8 +154,12 @@ def _flash_fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
         l_new = alpha * l_i + jnp.sum(p, axis=-1, keepdims=True)
         p_ctx = p
         if dropout_p > 0.0:
-            cols = kb * block_k + jax.lax.iota(jnp.int32, block_k)
-            bits = _keep_bits(seed_bh, rows, cols, seq_len, thresh)
+            if bits_hw:
+                bits = _hw_tile_bits(seed_bh, pl.program_id(1), kb,
+                                     num_kb, block_q, block_k, keep_prob)
+            else:
+                cols = kb * block_k + jax.lax.iota(jnp.int32, block_k)
+                bits = _keep_bits(seed_bh, rows, cols, seq_len, thresh)
             p_ctx = jnp.where(bits, p / (1.0 - dropout_p), 0.0)
         acc_new = acc * alpha + jax.lax.dot_general(
             p_ctx, v_blk, (((1,), (0,)), ((), ())),
@@ -151,7 +176,7 @@ def _flash_fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def _fwd_pallas(q, k, v, mask, block_q, block_k, interpret,
-                dropout_p=0.0, seed=None):
+                dropout_p=0.0, seed=None, bits_hw=False):
     b, h, s, d = q.shape
     bh = b * h
     mask3 = mask.astype(jnp.int32).reshape(b, 1, s)
@@ -162,7 +187,8 @@ def _fwd_pallas(q, k, v, mask, block_q, block_k, interpret,
         jnp.int32(0) if seed is None else seed.astype(jnp.int32), (1, 1))
     o, lse = pl.pallas_call(
         functools.partial(_flash_fwd_kernel, block_k=block_k, seq_len=s,
-                          scale=scale, dropout_p=dropout_p),
+                          scale=scale, dropout_p=dropout_p,
+                          bits_hw=bits_hw),
         out_shape=(jax.ShapeDtypeStruct((bh, s, d), q.dtype),
                    jax.ShapeDtypeStruct((bh, 1, s), jnp.float32)),
         grid=grid,
@@ -205,7 +231,7 @@ def flash_attention(q, k, v, mask=None, block_q: int = 512,
 def _flash_bwd_dq_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
                          lse_ref, delta_ref, dq_ref,
                          *, block_k: int, seq_len: int, scale: float,
-                         dropout_p: float):
+                         dropout_p: float, bits_hw: bool = False):
     """One (batch*head, q-block) program: dq = scale * ds @ K with
     ds = p * (dp - delta). With dropout, dp = (dO @ V^T) * M/keep — and
     delta = rowsum(dO*O) still equals rowsum(dp*p) because the dropped
@@ -233,8 +259,13 @@ def _flash_bwd_dq_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
         dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if dropout_p > 0.0:
-            cols = kb * block_k + jax.lax.iota(jnp.int32, block_k)
-            bits = _keep_bits(seed_bh, rows, cols, seq_len, thresh)
+            if bits_hw:
+                bits = _hw_tile_bits(seed_bh, pl.program_id(1), kb,
+                                     num_kb, block_q, block_k,
+                                     1.0 - dropout_p)
+            else:
+                cols = kb * block_k + jax.lax.iota(jnp.int32, block_k)
+                bits = _keep_bits(seed_bh, rows, cols, seq_len, thresh)
             dp = jnp.where(bits, dp / (1.0 - dropout_p), 0.0)
         ds = p * (dp - delta)
         return acc + jax.lax.dot_general(
@@ -249,7 +280,7 @@ def _flash_bwd_dq_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
 def _flash_bwd_dkv_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
                           lse_ref, delta_ref, dk_ref, dv_ref,
                           *, block_q: int, seq_len: int, scale: float,
-                          dropout_p: float):
+                          dropout_p: float, bits_hw: bool = False):
     """One (batch*head, kv-block) program: dv = D^T @ dO (D = dropped
     probs) and dk = scale * ds^T @ Q accumulated over q-blocks."""
     k = k_ref[0].astype(jnp.float32)       # (block_k, d)
@@ -278,8 +309,13 @@ def _flash_bwd_dkv_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
                                  preferred_element_type=jnp.float32)
         p_ctx = p
         if dropout_p > 0.0:
-            rows = qb * block_q + jax.lax.iota(jnp.int32, block_q)
-            bits = _keep_bits(seed_bh, rows, cols, seq_len, thresh)
+            if bits_hw:
+                bits = _hw_tile_bits(seed_bh, qb, pl.program_id(1),
+                                     seq_len // block_k, block_q, block_k,
+                                     1.0 - dropout_p)
+            else:
+                rows = qb * block_q + jax.lax.iota(jnp.int32, block_q)
+                bits = _keep_bits(seed_bh, rows, cols, seq_len, thresh)
             p_ctx = jnp.where(bits, p / (1.0 - dropout_p), 0.0)
             dp = jnp.where(bits, dp / (1.0 - dropout_p), 0.0)
         dv_new = dv_acc + jax.lax.dot_general(
@@ -300,13 +336,17 @@ def _flash_bwd_dkv_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, do_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "block_k", "interpret",
-                                    "dropout_p"))
+                                    "dropout_p", "bits_hw"))
 def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = None,
                         block_k: int = None, interpret: bool = False,
-                        dropout_p: float = 0.0, seed=None):
+                        dropout_p: float = 0.0, seed=None,
+                        bits_hw: bool = False):
     """Pallas flash backward: (dq, dk, dv) from the saved forward output
     `o` and per-row logsumexp `lse`. With dropout_p > 0 the forward's
-    keep-mask regenerates from the same (seed, row, col) counters.
+    keep-mask regenerates from the same (seed, row, col) counters —
+    per-element hash bits by default; bits_hw=True regenerates hardware
+    PRNG tiles instead and then REQUIRES the forward's exact block
+    decomposition (the custom-VJP path passes `_block_for(s)` to both).
     block_q/block_k default to `_block_for(s)` (whole-row for short
     rows); explicit values are honored (tests force multi-block)."""
     b, h, s, d = q.shape
@@ -342,7 +382,8 @@ def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = None,
     dq_specs[7] = pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j))
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k, seq_len=s,
-                          scale=scale, dropout_p=dropout_p),
+                          scale=scale, dropout_p=dropout_p,
+                          bits_hw=bits_hw),
         out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
         grid=(bh, s // block_q),
         in_specs=dq_specs,
@@ -356,7 +397,8 @@ def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = None,
     dkv_specs[4] = pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, block_q=block_q,
-                          seq_len=s, scale=scale, dropout_p=dropout_p),
+                          seq_len=s, scale=scale, dropout_p=dropout_p,
+                          bits_hw=bits_hw),
         out_shape=(jax.ShapeDtypeStruct((bh, s, d), k.dtype),
                    jax.ShapeDtypeStruct((bh, s, d), v.dtype)),
         grid=(bh, s // block_k),
@@ -396,31 +438,36 @@ def _pad_to_block(s: int) -> int:
     return ((s + 127) // 128) * 128
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _flash_attention_ad(q, k, v, mask, seed, dropout_p=0.0,
-                        interpret=False):
+                        interpret=False, bits_hw=False):
     """Differentiable flash attention; dropout_p > 0 fuses HF-style
-    attention-probability dropout (seed: int32 scalar array)."""
+    attention-probability dropout (seed: int32 scalar array). bits_hw
+    selects the hardware-PRNG keep bits (TPU only; ~30% cheaper than the
+    hash bits at whole-row blocks) — forward and backward both derive
+    their blocks from `_block_for(s)`, so the per-tile re-seeding lines
+    up by construction."""
     b, h, s, d = q.shape
     blk = _block_for(s) or s
     o, _ = _fwd_pallas(q, k, v, mask, blk, blk, interpret,
-                       dropout_p=dropout_p, seed=seed)
+                       dropout_p=dropout_p, seed=seed, bits_hw=bits_hw)
     return o
 
 
-def _flash_fwd(q, k, v, mask, seed, dropout_p, interpret):
+def _flash_fwd(q, k, v, mask, seed, dropout_p, interpret, bits_hw):
     b, h, s, d = q.shape
     blk = _block_for(s) or s
     o, lse = _fwd_pallas(q, k, v, mask, blk, blk, interpret,
-                         dropout_p=dropout_p, seed=seed)
+                         dropout_p=dropout_p, seed=seed, bits_hw=bits_hw)
     return o, (q, k, v, mask, seed, o, lse)
 
 
-def _flash_bwd(dropout_p, interpret, res, g):
+def _flash_bwd(dropout_p, interpret, bits_hw, res, g):
     q, k, v, mask, seed, o, lse = res
     dq, dk, dv = flash_attention_bwd(q, k, v, mask, o, lse, g,
                                      interpret=interpret,
-                                     dropout_p=dropout_p, seed=seed)
+                                     dropout_p=dropout_p, seed=seed,
+                                     bits_hw=bits_hw)
     return dq, dk, dv, None, None
 
 
@@ -437,6 +484,16 @@ def _use_pallas() -> bool:
 # backward, dropout bits regenerated instead of an S x S mask round-trip)
 # wins from S=512 already (1.54 vs 1.93ms; 2.85 vs 4.37 at 1024; 2x at
 # 2048). The flash path is also the only one that runs at S>=8192.
+# Hardware-PRNG bits (scripts/verify_hw_dropout_bits.py, chained 8-deep
+# fwd+bwd, same shape) shave a further ~10% off the fused-dropout kernel
+# vs the murmur hash bits and widen the win over XLA probs:
+#   S=512  hash 4.29 / hw 3.70 / xla 3.76 ms
+#   S=1024 hash 13.19 / hw 11.92 / xla 18.82
+#   S=2048 hash 45.74 / hw 40.68 / xla 77.34
+# At the product's NON-128-multiple streams the padded kernel still
+# loses even with hw bits (text S=320->384: hw 24.0 vs xla 15.0;
+# multimodal S=566->640: hw 13.9 vs xla 11.5), so the native-multiple
+# gate below stands.
 PALLAS_MIN_SEQ = 2048        # forward-only (eval) crossover
 PALLAS_MIN_SEQ_TRAIN = 512   # fwd+bwd (training) crossover
 def flash_eligible(s: int, training: bool = False) -> bool:
@@ -480,8 +537,10 @@ def multihead_attention(q, k, v, mask=None, bias=None,
                 raise ValueError("dropout_p > 0 needs dropout_rng")
             seed = jax.random.randint(
                 dropout_rng, (), -2**31, 2**31 - 1, dtype=jnp.int32)
+            # this branch only dispatches on real TPU (flash_eligible
+            # gates on _use_pallas), so the hardware-PRNG bits apply
             out = _flash_attention_ad(q, k, v, mask, seed,
-                                      dropout_p=dropout_p)
+                                      dropout_p=dropout_p, bits_hw=True)
         else:
             out = _flash_attention_ad(q, k, v, mask, jnp.int32(0))
         return out[:, :, :s, :] if sp != s else out
