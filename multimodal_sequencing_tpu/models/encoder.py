@@ -20,6 +20,33 @@ from .config import EncoderConfig
 from ..ops.attention import multihead_attention, NEG_INF
 
 
+import functools
+import math as _math
+
+
+@functools.partial(jax.checkpoint, static_argnums=(4,))
+def _xla_probs_dropout_attention(q, k, v, mask, dropout_p, key):
+    """Reference semantics: softmax -> dropout(probs) -> @ v (HF
+    BertSelfAttention). Wrapped in jax.checkpoint so the backward
+    REGENERATES the S x S probs and the dropout keep-mask from the saved
+    (q, k, v, key) instead of round-tripping them through HBM: measured
+    15.9ms vs 20.8ms for the 24-layer chain at the flagship shape
+    (B=8 H=16 S=320 D=64, v5e, rbg keys) — the recompute costs one extra
+    QK^T matmul (~5% MFU worth of FLOPs at S=320) and saves two S x S
+    buffer round-trips per layer (scripts/microbench_s320_faithful.py)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                        preferred_element_type=jnp.float32
+                        ) * (1.0 / _math.sqrt(d))
+    logits = logits + jnp.where(mask[:, None, None, :].astype(bool),
+                                0.0, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    keep = jax.random.bernoulli(key, 1.0 - dropout_p, probs.shape)
+    probs = jnp.where(keep, probs / (1.0 - dropout_p),
+                      jnp.zeros((), q.dtype))
+    return jnp.einsum("bhst,bhtd->bhsd", probs, v)
+
+
 class SelfAttention(nn.Module):
     """Multi-head self attention.
 
@@ -51,35 +78,25 @@ class SelfAttention(nn.Module):
         if prob_dropout:
             from ..ops.attention import flash_eligible
             if cfg.use_pallas_attention and flash_eligible(s, training=True):
-                # long sequences: probs dropout fused INTO the flash
-                # kernel (counter-based keep bits, regenerated in the
-                # Pallas backward) — same semantics, no S x S buffer.
-                # Below the crossover the XLA probs path WINS: measured
-                # on v5e (24 chained attn fwd+bwd, B=8 H=16 S=320 D=64)
-                # XLA probs+hw-RBG dropout 25.6ms vs a whole-row fused
-                # Pallas kernel 24.7ms vs inline counter-hash bits
-                # 36.8ms — int32-multiply hashing is slow on the VPU,
-                # and XLA's batched scheduling of the small matmuls
-                # beats per-(b,h) kernel invocations.
+                # s >= 512 (incl. unaligned whole-row lengths <= 896,
+                # e.g. the 566-token multimodal joint stream): probs
+                # dropout fused INTO the flash kernel (hw-PRNG keep
+                # bits, regenerated in the Pallas backward) — same
+                # semantics, no S x S buffer. Crossover measurements in
+                # flash_eligible's docstring; below 512 the
+                # jax.checkpoint XLA path wins (15.9 vs 20.7ms at the
+                # S=320 flagship shape).
                 ctx = multihead_attention(
                     split(q), split(k), split(v), mask=mask,
                     dropout_p=cfg.attention_probs_dropout_prob,
                     dropout_rng=self.make_rng("dropout"))
             else:
-                # reference semantics: softmax -> dropout(probs) -> @ v
-                # (HF BertSelfAttention)
-                import math as _math
-                qh, kh, vh = split(q), split(k), split(v)
-                logits = jnp.einsum(
-                    "bhsd,bhtd->bhst", qh, kh,
-                    preferred_element_type=jnp.float32
-                ) * (1.0 / _math.sqrt(d))
-                logits = logits + jnp.where(
-                    mask[:, None, None, :].astype(bool), 0.0, NEG_INF)
-                probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-                probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
-                    probs, deterministic=False)
-                ctx = jnp.einsum("bhst,bhtd->bhsd", probs, vh)
+                # short sequences: XLA probs dropout under jax.checkpoint
+                # (see _xla_probs_dropout_attention)
+                ctx = _xla_probs_dropout_attention(
+                    split(q), split(k), split(v), mask,
+                    cfg.attention_probs_dropout_prob,
+                    self.make_rng("dropout"))
         else:
             ctx = multihead_attention(
                 split(q), split(k), split(v), mask=mask,

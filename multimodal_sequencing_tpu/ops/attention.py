@@ -97,7 +97,10 @@ def _hw_tile_bits(seed_bh, qb, kb, num_kb, block_q, block_k, keep_prob):
     pltpu.prng_seed(_mix32(seed_bh + (tile_id + 1) * jnp.int32(40503)))
     raw = pltpu.bitcast(pltpu.prng_random_bits((block_q, block_k)),
                         jnp.uint32)
-    return raw < jnp.uint32(int(keep_prob * 4294967296.0))
+    # clamp: keep_prob that rounds to 1.0 would overflow the uint32
+    # threshold to 0 and drop EVERYTHING (advisor r4)
+    thresh = min(int(keep_prob * 4294967296.0), 4294967295)
+    return raw < jnp.uint32(thresh)
 
 
 def attention_reference(q, k, v, mask: Optional[jax.Array] = None,
@@ -354,6 +357,16 @@ def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = None,
         block_q = block_k = _block_for(s) or s
     else:
         block_q, block_k = min(block_q, s), min(block_k, s)
+        if bits_hw and dropout_p > 0.0:
+            canonical = _block_for(s) or s
+            if block_q != canonical or block_k != canonical:
+                # hw-PRNG tile seeds are keyed on the block decomposition;
+                # a mismatch vs the forward regenerates DIFFERENT bits and
+                # silently corrupts gradients (advisor r4)
+                raise ValueError(
+                    f"bits_hw backward requires the forward's block "
+                    f"decomposition _block_for({s})={canonical}, got "
+                    f"block_q={block_q} block_k={block_k}")
     bh = b * h
     mask3 = mask.astype(jnp.int32).reshape(b, 1, s)
     qf, kf, vf, of, gf = (x.reshape(bh, s, d) for x in (q, k, v, o, g))
@@ -416,17 +429,20 @@ def flash_attention_bwd(q, k, v, mask, o, lse, g, block_q: int = None,
 
 
 def _block_for(s: int):
-    """Block size for sequence length s (None if s isn't a 128-multiple;
-    callers pad odd lengths via `_pad_to_block` first). Short rows run as
-    ONE whole-row program per (batch, head) — splitting e.g. S=640 into
-    five 128-blocks multiplies grid overhead and starves the MXU (measured
-    10x slower on the multimodal joint stream). Long rows use the largest
-    <=512 divisor; 896 caps the whole-row s-matrix + backward live set
-    comfortably inside VMEM."""
-    if s % 128 != 0:
-        return None
+    """Block size for sequence length s. Short rows run as ONE whole-row
+    program per (batch, head) — splitting e.g. S=640 into five 128-blocks
+    multiplies grid overhead and starves the MXU (measured 10x slower on
+    the multimodal joint stream) — and whole-row dispatch accepts ANY
+    length <= 896 (Mosaic pads the lane axis internally; measured a WIN
+    over the XLA probs path at the product's unaligned S=566 joint
+    stream: 23.0 vs 31.7ms for the 24-layer chain). Longer rows need a
+    128-multiple block decomposition (None -> caller pads via
+    `_pad_to_block`); largest <=512 divisor. 896 caps the whole-row
+    s-matrix + backward live set comfortably inside VMEM."""
     if s <= 896:
         return s
+    if s % 128 != 0:
+        return None
     for blk in (512, 384, 256, 128):
         if s % blk == 0:
             return blk
@@ -443,10 +459,12 @@ def _flash_attention_ad(q, k, v, mask, seed, dropout_p=0.0,
                         interpret=False, bits_hw=False):
     """Differentiable flash attention; dropout_p > 0 fuses HF-style
     attention-probability dropout (seed: int32 scalar array). bits_hw
-    selects the hardware-PRNG keep bits (TPU only; ~30% cheaper than the
-    hash bits at whole-row blocks) — forward and backward both derive
-    their blocks from `_block_for(s)`, so the per-tile re-seeding lines
-    up by construction."""
+    selects the hardware-PRNG keep bits (TPU only; ~10% cheaper
+    END-TO-END on the chained fwd+bwd step than the murmur hash bits —
+    the bits-generation cost ALONE drops ~30%, but it is a minority of
+    the kernel) — forward and backward both derive their blocks from
+    `_block_for(s)`, so the per-tile re-seeding lines up by
+    construction."""
     b, h, s, d = q.shape
     blk = _block_for(s) or s
     o, _ = _fwd_pallas(q, k, v, mask, blk, blk, interpret,
@@ -478,6 +496,65 @@ def _use_pallas() -> bool:
     return pltpu is not None and jax.default_backend() == "tpu"
 
 
+_HW_BITS_OK = None  # memoized result of hw_dropout_bits_ok()
+
+
+def _bits_dump(order: str, bh: int, s: int, blk: int, keep_prob: float):
+    """Dump the keep-bits `_hw_tile_bits` generates in the given kernel's
+    visit order ("fwd": per q-block row, loop over k; "dkv": per k-block
+    column, loop over q). Both must be bit-identical for the fused
+    dropout gradients to be correct."""
+    def fwd_kernel(o_ref):
+        num_kb = s // blk
+        seed_bh = _seed_for_bh(jnp.int32(1234), pl.program_id(0))
+        for kb in range(num_kb):
+            bits = _hw_tile_bits(seed_bh, pl.program_id(1), kb, num_kb,
+                                 blk, blk, keep_prob)
+            o_ref[0, :, kb * blk:(kb + 1) * blk] = bits.astype(jnp.int32)
+
+    def dkv_kernel(o_ref):
+        num_kb = s // blk
+        seed_bh = _seed_for_bh(jnp.int32(1234), pl.program_id(0))
+        for qb in range(s // blk):
+            bits = _hw_tile_bits(seed_bh, qb, pl.program_id(1), num_kb,
+                                 blk, blk, keep_prob)
+            o_ref[0, qb * blk:(qb + 1) * blk, :] = bits.astype(jnp.int32)
+
+    if order == "fwd":
+        kern, spec = fwd_kernel, pl.BlockSpec((1, blk, s),
+                                              lambda i, j: (i, j, 0))
+    else:
+        kern, spec = dkv_kernel, pl.BlockSpec((1, s, blk),
+                                              lambda i, j: (i, 0, j))
+    return pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((bh, s, s), jnp.int32),
+        grid=(bh, s // blk), out_specs=spec)()
+
+
+def hw_dropout_bits_ok() -> bool:
+    """One-time self-check that the TPU hardware-PRNG dropout bits are
+    consistent between the forward and backward kernels' tile-visit
+    orders (advisor r4: gradient correctness of bits_hw rests on
+    `pltpu.prng_random_bits` reproducing identical bits for the same
+    tile seed across separately-lowered kernels; a JAX/libtpu upgrade
+    could silently break that). Runs two tiny bit-dump kernels (2x2
+    tile grid) and compares; on mismatch or any error the fused-dropout
+    path falls back to the per-element hash bits. Memoized."""
+    global _HW_BITS_OK
+    if _HW_BITS_OK is None:
+        if not _use_pallas():
+            _HW_BITS_OK = False
+        else:
+            try:
+                a = _bits_dump("fwd", bh=2, s=512, blk=256, keep_prob=0.9)
+                b = _bits_dump("dkv", bh=2, s=512, blk=256, keep_prob=0.9)
+                _HW_BITS_OK = bool((a == b).all()) and bool(
+                    0.85 < float(a.mean()) < 0.95)
+            except Exception:  # noqa: BLE001 — fall back, don't die
+                _HW_BITS_OK = False
+    return _HW_BITS_OK
+
+
 # Crossovers measured on v5e (scripts/microbench_flash_dropout.py,
 # B=2 H=16 D=64 bf16, dropout_p=0.1): forward-only XLA wins until ~2048
 # (S=1024: xla 2.03ms vs flash 3.22); fwd+bwd the flash kernel (Pallas
@@ -502,15 +579,25 @@ def flash_eligible(s: int, training: bool = False) -> bool:
     fused kernel instead of materializing the S x S probs). `training`
     selects the fwd+bwd crossover, which sits lower than forward-only.
 
-    Only NATIVE 128-multiple lengths dispatch here: padding odd lengths
-    to the next 128 multiple was measured a net loss on v5e — the
-    multimodal joint stream (S=566 -> 640, whole-row blocks, fused
-    dropout) ran the full train step at 92.8ms vs 87.8ms on the XLA
-    probs path; the (640/566)^2 extra FLOPs eat the fused-dropout win.
-    The padding path in `multihead_attention` stays for callers that
-    opt in explicitly."""
+    Training accepts UNALIGNED lengths in the whole-row range
+    [512, 896]: the round-4 conclusion that "padding odd lengths loses"
+    only tested PADDED kernels (S=566 -> 640 blocks); the UNPADDED
+    whole-row kernel at the raw length wins — measured on v5e (24-layer
+    chain, fused hw-bits dropout vs XLA probs + checkpoint):
+      S=512 B=8: pallas 32.0 / xla-remat 76.8 / xla-probs 52.7
+      S=566 B=4: pallas 23.0 / xla-remat 25.9 / xla-probs 31.7
+      S=896 B=4: pallas 42.5 / xla-remat 68.1 / xla-probs 64.4
+      S=2048 B=2: pallas 117.7 / xla-remat 205.6
+    Below 512 (the product's S=320 text stream) the XLA probs path
+    under jax.checkpoint wins (15.9 vs 20.7) — per-(b,h) grid programs
+    are too small to amortize. Unaligned lengths ABOVE 896 would need
+    kernel-side padding, which was measured a loss; they stay on XLA."""
     floor = PALLAS_MIN_SEQ_TRAIN if training else PALLAS_MIN_SEQ
-    return _use_pallas() and s % 128 == 0 and s >= floor
+    if not _use_pallas() or s < floor:
+        return False
+    if training and s <= 896:
+        return True  # whole-row program handles any length unpadded
+    return s % 128 == 0
 
 
 def multihead_attention(q, k, v, mask=None, bias=None,
@@ -527,7 +614,9 @@ def multihead_attention(q, k, v, mask=None, bias=None,
             and bias is None and q.shape == k.shape == v.shape):
         if mask is None:
             mask = jnp.ones((q.shape[0], s), jnp.int32)
-        sp = _pad_to_block(s)
+        # whole-row range runs UNPADDED at the raw length (see
+        # flash_eligible); only block-decomposed lengths need padding
+        sp = s if s <= 896 else _pad_to_block(s)
         if sp != s:  # pad keys masked off; pad query rows sliced away
             pad = ((0, 0), (0, 0), (0, sp - s), (0, 0))
             q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
@@ -538,9 +627,12 @@ def multihead_attention(q, k, v, mask=None, bias=None,
             seed = jax.random.randint(
                 dropout_rng, (), -2**31, 2**31 - 1, dtype=jnp.int32)
             # this branch only dispatches on real TPU (flash_eligible
-            # gates on _use_pallas), so the hardware-PRNG bits apply
+            # gates on _use_pallas); the hardware-PRNG bits apply after
+            # the one-time fwd/bwd consistency self-check (hash-bits
+            # fallback on mismatch — advisor r4)
             out = _flash_attention_ad(q, k, v, mask, seed,
-                                      dropout_p=dropout_p, bits_hw=True)
+                                      dropout_p=dropout_p,
+                                      bits_hw=hw_dropout_bits_ok())
         else:
             out = _flash_attention_ad(q, k, v, mask, jnp.int32(0))
         return out[:, :, :s, :] if sp != s else out

@@ -153,12 +153,14 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--gelu_approximate", action="store_true",
         help="tanh-approximate GELU (~17%% faster steps on v5e; keep off "
              "when continuing from converted HF checkpoints)")
-    add("--gelu_impl", type=str, default="fast_erf",
-        choices=["erf", "fast_erf", "tanh"],
-        help="erf-GELU implementation (ops/gelu.py): fast_erf (default) "
-             "is the A&S erf with bf16 outputs exhaustively verified "
-             "against the XLA erf lowering; erf forces the XLA lowering; "
-             "tanh equals --gelu_approximate")
+    add("--gelu_impl", type=str, default="logit_erf",
+        choices=["erf", "fast_erf", "logit_erf", "tanh"],
+        help="erf-GELU implementation (ops/gelu.py): logit_erf (default) "
+             "computes erf GELU through its logistic form with one exp, "
+             "bf16 outputs exhaustively 0-or-1-ulp equal to the XLA erf "
+             "lowering; fast_erf is the A&S rational form (same bf16 "
+             "guarantee, slower); erf forces the XLA lowering; tanh "
+             "equals --gelu_approximate")
     add("--attention_dropout_mode", type=str, default="probs",
         choices=["probs", "folded"],
         help="probs = dropout on attention probabilities (exact HF/"
@@ -233,7 +235,7 @@ def build_config(args):
         enc.type_vocab_size = args.max_story_length
     if getattr(args, "gelu_approximate", False):
         enc.gelu_approximate = True
-    enc.gelu_impl = getattr(args, "gelu_impl", "fast_erf")
+    enc.gelu_impl = getattr(args, "gelu_impl", "logit_erf")
     enc.attention_dropout_mode = getattr(args, "attention_dropout_mode",
                                          "probs")
     if getattr(args, "sequence_parallel", False):

@@ -202,8 +202,46 @@ def test_block_for_and_pad():
         _block_for, _pad_to_block)
     assert _block_for(512) == 512 and _block_for(1024) == 512
     assert _block_for(640) == 640 and _block_for(768) == 768  # whole row
-    assert _block_for(1152) == 384 and _block_for(200) is None
+    # whole-row dispatch accepts ANY length <= 896 (unaligned lengths run
+    # unpadded; Mosaic pads the lane axis internally)
+    assert _block_for(200) == 200 and _block_for(566) == 566
+    assert _block_for(1152) == 384 and _block_for(1000) is None
     assert _pad_to_block(566) == 640 and _pad_to_block(512) == 512
+
+
+def test_flash_unaligned_whole_row():
+    """UNALIGNED lengths <= 896 run as one whole-row program at the raw
+    length (no padding) — the dispatch the 566-token multimodal joint
+    stream takes on TPU (flash_eligible). fwd + grads + fused dropout
+    against the references at a non-8-multiple length."""
+    s = 84  # not a multiple of 8 (sublane) or 128 (lane)
+    q, k, v, mask = _inputs(b=1, h=2, s=s, d=16, seed=21)
+
+    want = attention_reference(q, k, v, mask=mask)
+    got = _flash_attention_ad(q, k, v, mask, jnp.int32(0), 0.0, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    def flash_loss(q, k, v):
+        out = _flash_attention_ad(q, k, v, mask, jnp.int32(0), 0.0, True)
+        return jnp.sum(jnp.sin(out))
+
+    def ref_loss(q, k, v):
+        return jnp.sum(jnp.sin(attention_reference(q, k, v, mask=mask)))
+
+    got_g = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    want_g = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for g, w, name in zip(got_g, want_g, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), atol=5e-5, rtol=5e-4,
+            err_msg=f"d{name} mismatch")
+
+    # fused probs dropout at the unaligned length vs the host oracle
+    seed, p = 3141, 0.25
+    got_d = _flash_attention_ad(q, k, v, mask, jnp.int32(seed), p, True)
+    want_d = _dropped_reference(q, k, v, mask, seed, p)
+    np.testing.assert_allclose(np.asarray(got_d), want_d,
+                               atol=3e-5, rtol=3e-5)
 
 
 def test_flash_padded_odd_length():
