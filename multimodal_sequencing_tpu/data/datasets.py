@@ -43,7 +43,7 @@ class _StoryDatasetBase:
                  per_seq_max_length=32, max_story_length=5,
                  min_story_length=5, scramble=True, seed=None,
                  multimodal=False, image_size=(224, 224),
-                 uint8_images=False,
+                 uint8_images=False, image_transform="imagenet",
                  num_img_regional_features=None, args=None):
         self.args = args
         self.examples = examples
@@ -54,6 +54,11 @@ class _StoryDatasetBase:
         # uint8 HWC images + on-device normalize (ops/preprocess) instead of
         # float CHW on host: 4x less H2D traffic
         self.uint8_images = uint8_images
+        # "imagenet" (default RGB/[0,1]/mean-std) or "detectron2" (Caffe:
+        # BGR 0-255 minus PIXEL_MEAN, 256px INTER_LINEAR — the pipeline
+        # the reference's detectron2_* vision models were trained on,
+        # `multimodal_utils.py:170-192`)
+        self.image_transform = image_transform
         self.num_img_regional_features = num_img_regional_features
 
         min_story_length = max(1, min_story_length)
@@ -92,6 +97,12 @@ class _StoryDatasetBase:
         """Image stack in the configured pipeline layout: uint8 HWC for the
         on-device normalize tail (default; 4x less H2D traffic) or float32
         CHW host preprocessing (reference-parity numerics)."""
+        if self.image_transform == "detectron2":
+            if self.uint8_images:
+                from .images import load_image_stack_uint8_bgr
+                return load_image_stack_uint8_bgr(paths, self.image_size)
+            from .images import load_image_stack_detectron2
+            return load_image_stack_detectron2(paths, self.image_size)
         if self.uint8_images:
             from .images import load_image_stack_uint8
             return load_image_stack_uint8(paths, self.image_size)

@@ -23,6 +23,13 @@ logger = logging.getLogger(__name__)
 IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], dtype=np.float32)
 
+# detectron2 Caffe-style models consume 0-255 BGR minus MODEL.PIXEL_MEAN
+# (BGR channel order); these are the zoo defaults the reference's
+# `Detectron2ImageTransform` subtracts (`trainers/multimodal_utils.py:
+# 170-192` with detectron2's configs/Base-RCNN-FPN PIXEL_MEAN).
+DETECTRON2_PIXEL_MEAN_BGR = np.asarray([103.530, 116.280, 123.675],
+                                       dtype=np.float32)
+
 
 def read_image_rgb(filename: str) -> np.ndarray:
     """Read an image file as HWC RGB uint8 with the reference's fallbacks
@@ -146,6 +153,75 @@ def load_image_stack_uint8(filenames: Sequence[Optional[str]],
             r = np.asarray(Image.fromarray(img).resize(
                 (size[1], size[0]), Image.BILINEAR))
         out.append(r.astype(np.uint8))
+    return np.stack(out)
+
+
+def read_image_bgr(filename: str) -> np.ndarray:
+    """Read an image as HWC **BGR** uint8 — the detectron2-path intake
+    (the reference keeps cv2's native BGR order for this vision family,
+    `img_utils.py:103-117`: gray -> BGR, no RGB conversion)."""
+    img = read_image_rgb(filename)
+    return np.ascontiguousarray(img[..., ::-1])
+
+
+def _resize_linear_u8(img: np.ndarray, size) -> np.ndarray:
+    """cv2.resize with the default INTER_LINEAR interpolation — matching
+    the reference's `Detectron2ImageTransform.__call__` exactly (NOT the
+    INTER_AREA the imagenet pipeline uses)."""
+    h, w = int(size[0]), int(size[1])
+    try:
+        import cv2
+        return cv2.resize(img, (w, h))  # default: INTER_LINEAR
+    except Exception:
+        from PIL import Image
+        return np.asarray(Image.fromarray(img).resize((w, h),
+                                                      Image.BILINEAR))
+
+
+def load_image_stack_detectron2(filenames: Sequence[Optional[str]],
+                                size: Tuple[int, int] = (256, 256),
+                                pixel_mean=None) -> np.ndarray:
+    """(N, 3, H, W) float32 stack in the reference's detectron2 Caffe
+    pipeline: BGR read -> cv2.resize(size) INTER_LINEAR -> float32 0-255
+    -> minus MODEL.PIXEL_MEAN (BGR order) -> CHW
+    (`multimodal_utils.py:170-192`). Missing paths yield zeros-minus-mean
+    (what the reference transform produces for a black image)."""
+    mean = np.asarray(DETECTRON2_PIXEL_MEAN_BGR if pixel_mean is None
+                      else pixel_mean, np.float32)
+    out = []
+    for f in filenames:
+        if f is None:
+            img = np.zeros((size[0], size[1], 3), np.float32)
+        else:
+            try:
+                img = _resize_linear_u8(read_image_bgr(f),
+                                        size).astype(np.float32)
+            except Exception as e:  # noqa: BLE001 — log, keep shape
+                logger.warning("Failed reading image %s (%s); using zeros",
+                               f, e)
+                img = np.zeros((size[0], size[1], 3), np.float32)
+        img = img - mean
+        out.append(np.ascontiguousarray(img.transpose(2, 0, 1)))
+    return np.stack(out)
+
+
+def load_image_stack_uint8_bgr(filenames: Sequence[Optional[str]],
+                               size: Tuple[int, int] = (256, 256)
+                               ) -> np.ndarray:
+    """(N, H, W, 3) uint8 **BGR** stack for the detectron2 on-device tail
+    (`ops/preprocess.py` mode='detectron2_bgr' subtracts the pixel means
+    on device). Missing paths yield zeros (same post-mean value as the
+    host float path)."""
+    out = []
+    for f in filenames:
+        if f is None:
+            out.append(np.zeros((size[0], size[1], 3), np.uint8))
+            continue
+        try:
+            out.append(_resize_linear_u8(read_image_bgr(f), size))
+        except Exception as e:  # noqa: BLE001 — log, keep shape
+            logger.warning("Failed reading image %s (%s); using zeros", f, e)
+            out.append(np.zeros((size[0], size[1], 3), np.uint8))
     return np.stack(out)
 
 

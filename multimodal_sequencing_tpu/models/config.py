@@ -160,6 +160,14 @@ class MultimodalConfig:
     num_img_regional_features: Optional[int] = None
     image_size: Tuple[int, int] = (224, 224)
     patch_grid: int = 7                    # RN50 224/32 grid
+    # Caffe-style pixel means (BGR order) the detectron2_* pipeline
+    # subtracts (reference Detectron2ImageTransform / cfg.MODEL.
+    # PIXEL_MEAN). Recorded here so checkpoint config sidecars carry the
+    # preprocessing contract of converted zoo weights; the device uint8
+    # tail bakes the zoo default, so non-default means require the host
+    # float pipeline (--host_image_preprocess).
+    detectron2_pixel_mean: Tuple[float, float, float] = (
+        103.530, 116.280, 123.675)
 
     # heads / objectives
     hierarchical_version: str = "v0"      # v0 | v1 | v2 | v3 | p0 | p1

@@ -59,7 +59,10 @@ class NaiveMultimodalModel(nn.Module):
         if images is not None:
             from ..ops.preprocess import images_to_nhwc
             b, n = images.shape[:2]
-            nhwc = images_to_nhwc(images)
+            nhwc = images_to_nhwc(
+                images, mode=("detectron2_bgr"
+                              if self.vision_name.startswith("detectron2")
+                              else "imagenet"))
             feats = build_pooled_vision_tower(
                 self.vision_name, dtype=ecfg.compute_dtype)(
                 nhwc, deterministic=deterministic)

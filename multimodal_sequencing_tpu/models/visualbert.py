@@ -74,8 +74,13 @@ class VisualBERTEncoder(nn.Module):
         if images is not None and not cfg.multimodal_text_part:
             from ..ops.preprocess import images_to_nhwc
             b, n = images.shape[:2]
-            nhwc = images_to_nhwc(images)
-            if cfg.vision_model.startswith("detectron2"):
+            d2 = cfg.vision_model.startswith("detectron2")
+            # detectron2 towers consume the Caffe-style tail (0-255 BGR
+            # minus PIXEL_MEAN; data/images.py ships BGR bytes for them)
+            nhwc = images_to_nhwc(images,
+                                  mode="detectron2_bgr" if d2
+                                  else "imagenet")
+            if d2:
                 # detectron2-style tower (ref multimodal_utils.py:30-167):
                 # FPN p6 per-step features; with K regional features and
                 # no precomputed sidecars, ROI features come from the

@@ -74,7 +74,11 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--multimodal_loss", action="store_true")
     add("--include_num_img_regional_features", type=int, default=None)
     add("--include_full_img_features", action="store_true")
-    add("--vision_image_size", type=int, default=224)
+    add("--vision_image_size", type=int, default=None,
+        help="input resolution for the vision tower; defaults to 224 "
+             "(torchvision/CLIP pipelines) or 256 for detectron2_* "
+             "models (the reference's hardcoded Detectron2ImageTransform "
+             "size, multimodal_utils.py:189)")
     add("--clip_ref_fold_quirk", action="store_true",
         help="replay the reference's byte-order RN50 attnpool fold "
              "(model.py:76-77) for importing reference-finetuned "
@@ -207,6 +211,22 @@ def build_parser(kind: str = "train") -> argparse.ArgumentParser:
     add("--eval_on_every_iter", type=int, default=None)
 
     return p
+
+
+def _is_detectron2(args) -> bool:
+    return bool(args.multimodal
+                and str(getattr(args, "vision_model", "")
+                        ).startswith("detectron2"))
+
+
+def resolve_args(args):
+    """Post-parse resolution of interdependent flags (called by every
+    entry point). --vision_image_size defaults by vision family: 256 for
+    detectron2_* (the reference's hardcoded transform size), 224
+    otherwise."""
+    if getattr(args, "vision_image_size", None) is None:
+        args.vision_image_size = 256 if _is_detectron2(args) else 224
+    return args
 
 
 def resolve_output_dir(args) -> str:
@@ -406,6 +426,8 @@ def _dataset_common(args):
         seed=args.seed, multimodal=args.multimodal,
         image_size=(args.vision_image_size, args.vision_image_size),
         uint8_images=getattr(args, "device_image_preprocess", True),
+        image_transform=("detectron2" if _is_detectron2(args)
+                         else "imagenet"),
         num_img_regional_features=args.include_num_img_regional_features)
 
 
@@ -524,6 +546,7 @@ def _apply_runtime_flags(args):
 
 def main_train(argv=None):
     args = build_parser("train").parse_args(argv)
+    args = resolve_args(args)
     logging.basicConfig(level=logging.INFO)
     if (getattr(args, "multimodal_loss", False)
             and args.wrapper_model_type != "berson"):
@@ -855,6 +878,7 @@ def _run_berson_training(cfg, model, dataset, args, tokenizer):
 
 def main_pretrain(argv=None):
     args = build_parser("pretrain").parse_args(argv)
+    args = resolve_args(args)
     logging.basicConfig(level=logging.INFO)
     _apply_runtime_flags(args)
     args.output_dir = resolve_output_dir(args)
@@ -909,6 +933,7 @@ def main_pretrain(argv=None):
 
 def main_eval(argv=None):
     args = build_parser("eval").parse_args(argv)
+    args = resolve_args(args)
     logging.basicConfig(level=logging.INFO)
     _apply_runtime_flags(args)
     args.output_dir = resolve_output_dir(args)
