@@ -84,7 +84,9 @@ class InterEncoderLayer(nn.Module):
         x = x + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-6, name="ff_ln")(x)
         h = nn.Dense(self.d_ff, name="ff_1")(h)
-        h = nn.relu(h)
+        # tanh-approx GELU — the reference FF activation
+        # (`models/berson/neural.py:7-8,27`), NOT relu
+        h = jax.nn.gelu(h, approximate=True)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, name="ff_2")(h)
         return x + nn.Dropout(self.dropout)(h, deterministic=deterministic)
