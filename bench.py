@@ -373,11 +373,16 @@ def main():
     # flagged) so the JSON line still prints before the driver's kill —
     # a bench killed mid-compile parses as nothing at all (BENCH_r02/r03).
     results, errors = {}, {}
+    skipped = []
     t_start = time.time()
     cutoff_s = float(os.environ.get("BENCH_MODE_CUTOFF_S", "1200"))
 
     def _try(name, fn):
         if time.time() - t_start > cutoff_s:
+            # surfaced BOTH in errors and the top-level skipped_modes
+            # list so a deadline skip cannot be misread as a workload
+            # regression (advisor r4)
+            skipped.append(name)
             errors[name] = (f"skipped: {time.time() - t_start:.0f}s elapsed "
                             f"> BENCH_MODE_CUTOFF_S={cutoff_s:.0f} (cold "
                             "compile cache?); rerun to hit the primed cache")
@@ -471,6 +476,8 @@ def main():
         line["berson_beam16_stories_per_sec"] = (
             results["berson"]["beam16_stories_per_sec"])
         line["berson_beam16_mfu"] = results["berson"]["beam16_mfu"]
+    if skipped:
+        line["skipped_modes"] = skipped
     if errors:
         line["errors"] = errors
     print(json.dumps(line))

@@ -24,16 +24,24 @@ import functools
 import math as _math
 
 
-@functools.partial(jax.checkpoint, static_argnums=(4,))
-def _xla_probs_dropout_attention(q, k, v, mask, dropout_p, key):
+def _xla_probs_dropout_attention(q, k, v, mask, key, dropout_p):
     """Reference semantics: softmax -> dropout(probs) -> @ v (HF
-    BertSelfAttention). Wrapped in jax.checkpoint so the backward
-    REGENERATES the S x S probs and the dropout keep-mask from the saved
-    (q, k, v, key) instead of round-tripping them through HBM: measured
-    15.9ms vs 20.8ms for the 24-layer chain at the flagship shape
-    (B=8 H=16 S=320 D=64, v5e, rbg keys) — the recompute costs one extra
-    QK^T matmul (~5% MFU worth of FLOPs at S=320) and saves two S x S
-    buffer round-trips per layer (scripts/microbench_s320_faithful.py)."""
+    BertSelfAttention), under PLAIN autodiff.
+
+    Every cleverer backward was measured a full-model LOSS at the
+    flagship shape (B=8 H=16 S=320, v5e, scripts/bench_variants.py):
+      plain AD            62.0 ms/step   <- this path
+      jax.checkpoint      64.0           (recomputed QK^T costs more
+                                          than the residual traffic)
+      custom VJP saving bf16 probs + regenerating the rbg keep mask
+                          70.3           (bwd mask regen + casts lose
+                                          to XLA's own residual plan)
+    XLA fuses the softmax/dropout pipeline into the surrounding
+    projections better than any hand-written schedule here; synthetic
+    24-layer attention-chain microbenches that favored remat do NOT
+    transfer to the real model. The 1/keep rescale is deferred onto the
+    (S, D) context instead of the (S, S) probs (same value, S x smaller
+    tensor)."""
     d = q.shape[-1]
     logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
                         preferred_element_type=jnp.float32
@@ -42,9 +50,19 @@ def _xla_probs_dropout_attention(q, k, v, mask, dropout_p, key):
                                 0.0, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     keep = jax.random.bernoulli(key, 1.0 - dropout_p, probs.shape)
-    probs = jnp.where(keep, probs / (1.0 - dropout_p),
-                      jnp.zeros((), q.dtype))
-    return jnp.einsum("bhst,bhtd->bhsd", probs, v)
+    ctx = jnp.einsum("bhst,bhtd->bhsd",
+                     jnp.where(keep, probs, jnp.zeros((), q.dtype)), v,
+                     preferred_element_type=jnp.float32)
+    return (ctx / (1.0 - dropout_p)).astype(q.dtype)
+
+
+# Above this sequence length the plain-AD S x S f32 residuals are a
+# memory hazard (24 layers x B*H*S^2 f32), so the unaligned-length
+# fallback switches to rematerialization; the flash kernel takes
+# 128-multiples >= 512 before this matters on the product shapes.
+_PROBS_REMAT_MIN_SEQ = 1024
+_xla_probs_dropout_attention_remat = jax.checkpoint(
+    _xla_probs_dropout_attention, static_argnums=(5,))
 
 
 class SelfAttention(nn.Module):
@@ -78,25 +96,30 @@ class SelfAttention(nn.Module):
         if prob_dropout:
             from ..ops.attention import flash_eligible
             if cfg.use_pallas_attention and flash_eligible(s, training=True):
-                # s >= 512 (incl. unaligned whole-row lengths <= 896,
-                # e.g. the 566-token multimodal joint stream): probs
-                # dropout fused INTO the flash kernel (hw-PRNG keep
-                # bits, regenerated in the Pallas backward) — same
-                # semantics, no S x S buffer. Crossover measurements in
-                # flash_eligible's docstring; below 512 the
-                # jax.checkpoint XLA path wins (15.9 vs 20.7ms at the
-                # S=320 flagship shape).
+                # 128-multiples >= 512: probs dropout fused INTO the
+                # flash kernel (hw-PRNG keep bits, regenerated in the
+                # Pallas backward) — same semantics, no S x S buffer.
+                # Unaligned lengths (the S=320 text flagship, the
+                # 566-token multimodal joint stream) stay on the XLA
+                # path below: the whole-row unpadded kernel was
+                # measured a full-model LOSS at both shapes
+                # (flash_eligible docstring, scripts/bench_variants.py).
                 ctx = multihead_attention(
                     split(q), split(k), split(v), mask=mask,
                     dropout_p=cfg.attention_probs_dropout_prob,
                     dropout_rng=self.make_rng("dropout"))
             else:
-                # short sequences: XLA probs dropout under jax.checkpoint
-                # (see _xla_probs_dropout_attention)
-                ctx = _xla_probs_dropout_attention(
+                # short/unaligned sequences: XLA probs dropout, plain AD
+                # (measured fastest — see _xla_probs_dropout_attention);
+                # remat above _PROBS_REMAT_MIN_SEQ to bound the S x S
+                # residual memory
+                attn_fn = (_xla_probs_dropout_attention
+                           if s < _PROBS_REMAT_MIN_SEQ
+                           else _xla_probs_dropout_attention_remat)
+                ctx = attn_fn(
                     split(q), split(k), split(v), mask,
-                    cfg.attention_probs_dropout_prob,
-                    self.make_rng("dropout"))
+                    self.make_rng("dropout"),
+                    cfg.attention_probs_dropout_prob)
         else:
             ctx = multihead_attention(
                 split(q), split(k), split(v), mask=mask,

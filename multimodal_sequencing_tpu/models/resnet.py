@@ -161,3 +161,52 @@ def convert_torchvision_resnet(state_dict, name: str = "resnet50"):
             params[dst] = bp
             stats[dst] = bs
     return params, stats
+
+
+def export_torchvision_resnet(params, batch_stats, name: str = "resnet50"):
+    """Inverse of `convert_torchvision_resnet`: flax (params, batch_stats)
+    -> a torchvision-layout state dict of numpy arrays (conv kernels back
+    to OIHW, BN scale/bias/running stats under torchvision names).
+
+    Use cases: round-trip testing of the converter, and producing a
+    `--vision_model_checkpoint` file from a tower trained in-framework
+    (the quality gate warm-starts its pixels tower this way — no zoo
+    download exists in this environment)."""
+    p = {k: np.asarray(v) for k, v in _flatten(params).items()}
+    s = {k: np.asarray(v) for k, v in _flatten(batch_stats).items()}
+    block_cls, layers, _ = _SPECS[name]
+    sd = {}
+
+    def put_conv(dst, src):
+        sd[f"{dst}.weight"] = p[f"{src}/kernel"].transpose(3, 2, 0, 1)
+
+    def put_bn(dst, src):
+        sd[f"{dst}.weight"] = p[f"{src}/scale"]
+        sd[f"{dst}.bias"] = p[f"{src}/bias"]
+        sd[f"{dst}.running_mean"] = s[f"{src}/mean"]
+        sd[f"{dst}.running_var"] = s[f"{src}/var"]
+
+    put_conv("conv1", "conv1")
+    put_bn("bn1", "bn1")
+    n_convs = 2 if block_cls is BasicBlock else 3
+    for stage, blocks in enumerate(layers):
+        for b in range(blocks):
+            dst, src = f"layer{stage+1}.{b}", f"layer{stage+1}_{b}"
+            for c in range(1, n_convs + 1):
+                put_conv(f"{dst}.conv{c}", f"{src}/conv{c}")
+                put_bn(f"{dst}.bn{c}", f"{src}/bn{c}")
+            if f"{src}/downsample_conv/kernel" in p:
+                put_conv(f"{dst}.downsample.0", f"{src}/downsample_conv")
+                put_bn(f"{dst}.downsample.1", f"{src}/downsample_bn")
+    return sd
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out

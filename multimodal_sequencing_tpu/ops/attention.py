@@ -579,24 +579,22 @@ def flash_eligible(s: int, training: bool = False) -> bool:
     fused kernel instead of materializing the S x S probs). `training`
     selects the fwd+bwd crossover, which sits lower than forward-only.
 
-    Training accepts UNALIGNED lengths in the whole-row range
-    [512, 896]: the round-4 conclusion that "padding odd lengths loses"
-    only tested PADDED kernels (S=566 -> 640 blocks); the UNPADDED
-    whole-row kernel at the raw length wins — measured on v5e (24-layer
-    chain, fused hw-bits dropout vs XLA probs + checkpoint):
-      S=512 B=8: pallas 32.0 / xla-remat 76.8 / xla-probs 52.7
-      S=566 B=4: pallas 23.0 / xla-remat 25.9 / xla-probs 31.7
-      S=896 B=4: pallas 42.5 / xla-remat 68.1 / xla-probs 64.4
-      S=2048 B=2: pallas 117.7 / xla-remat 205.6
-    Below 512 (the product's S=320 text stream) the XLA probs path
-    under jax.checkpoint wins (15.9 vs 20.7) — per-(b,h) grid programs
-    are too small to amortize. Unaligned lengths ABOVE 896 would need
-    kernel-side padding, which was measured a loss; they stay on XLA."""
+    Round-5 re-measurement (scripts/bench_variants.py, FULL bench steps
+    on v5e, not synthetic chains): the whole-row unpadded kernel LOSES
+    end-to-end at both product shapes it was enabled for —
+      text S=320 B=8:        pallas 72.3ms/step vs XLA probs 62.0
+      multimodal S=566 B=4:  pallas 86.4ms/step vs XLA probs 84.1
+    The 24-layer synthetic-chain numbers that motivated the unaligned
+    [512, 896] acceptance (e.g. S=566: pallas 23.0 vs xla 31.7 for the
+    chain) do not survive inside the real model, where XLA fuses the
+    probs pipeline with the surrounding projections. So: training
+    dispatch keeps the fused-dropout kernel only for 128-multiples at
+    >= PALLAS_MIN_SEQ_TRAIN (chain-measured wins at 512/1024/2048 and
+    the only path that runs at S >= 8192); everything unaligned stays
+    on the XLA probs path (custom-VJP, models/encoder.py)."""
     floor = PALLAS_MIN_SEQ_TRAIN if training else PALLAS_MIN_SEQ
     if not _use_pallas() or s < floor:
         return False
-    if training and s <= 896:
-        return True  # whole-row program handles any length unpadded
     return s % 128 == 0
 
 

@@ -31,7 +31,7 @@ from multimodal_sequencing_tpu.models import encoder as enc_mod
 from multimodal_sequencing_tpu.ops import attention as attn_mod
 
 
-def _plain_probs_attention(q, k, v, mask, dropout_p, key):
+def _plain_probs_attention(q, k, v, mask, key, dropout_p):
     """The pre-remat XLA probs path (no jax.checkpoint)."""
     import math
     import jax.numpy as jnp
@@ -83,32 +83,22 @@ def run(name, mode_fn, ctxs):
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    no_flash = lambda s, training=False: False
-    orig_flash = attn_mod.flash_eligible
-    aligned_only = (lambda s, training=False:
-                    orig_flash(s, training) and s % 128 == 0)
 
     if which in ("text", "all"):
-        # S=320: flash ineligible either way, so variants are gelu x remat
-        run("text_default_logit_erf_remat", bench.bench_text, [])
-        run("text_erf_gelu", bench.bench_text, [_gelu_override("erf")])
-        run("text_tanh_gelu", bench.bench_text, [_gelu_override("tanh")])
-        run("text_noremat_probs", bench.bench_text,
-            [_patch(enc_mod, "_xla_probs_dropout_attention",
-                    _plain_probs_attention)])
-        run("text_pallas_row_s320", bench.bench_text,
-            [_flash_gate(lambda s, training=False:
-                         attn_mod._use_pallas() and training)])
+        # round 3: plain-AD probs dropout is the default XLA path
+        # (custom VJP and remat both measured slower); sweep batch
+        run("text_default_plain_ad", bench.bench_text, [])
+        for bpc in ("12", "16"):
+            os.environ["BENCH_BATCH_PER_CHIP"] = bpc
+            run(f"text_bpc{bpc}", bench.bench_text, [])
+            del os.environ["BENCH_BATCH_PER_CHIP"]
 
     if which in ("multimodal", "all"):
-        run("mm_default_pallas_row566", bench.bench_multimodal, [])
-        run("mm_xla_remat_probs", bench.bench_multimodal,
-            [_flash_gate(aligned_only)])
-        run("mm_xla_plain_probs", bench.bench_multimodal,
-            [_flash_gate(aligned_only),
-             _patch(enc_mod, "_xla_probs_dropout_attention",
-                    _plain_probs_attention)])
-        run("mm_erf_gelu", bench.bench_multimodal, [_gelu_override("erf")])
+        run("mm_default_plain_ad", bench.bench_multimodal, [])
+        for bpc in ("6", "8"):
+            os.environ["BENCH_MM_BATCH_PER_CHIP"] = bpc
+            run(f"mm_bpc{bpc}", bench.bench_multimodal, [])
+            del os.environ["BENCH_MM_BATCH_PER_CHIP"]
 
 
 if __name__ == "__main__":

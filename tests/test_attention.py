@@ -316,3 +316,53 @@ def test_flash_ad_multiblock_default_s1024():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=5e-5, rtol=5e-4,
             err_msg=f"d{name} mismatch")
+
+
+def test_xla_probs_dropout_paths_match_reference_semantics():
+    """The shipped XLA probs-dropout path (plain AD, 1/keep rescale
+    deferred onto the context) and its long-sequence remat variant must
+    both match the undeferred HF formulation — values and grads."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_sequencing_tpu.models.encoder import (
+        _xla_probs_dropout_attention, _xla_probs_dropout_attention_remat)
+    from multimodal_sequencing_tpu.ops.attention import NEG_INF
+
+    def reference(q, k, v, mask, key, p):
+        d = q.shape[-1]
+        logits = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                            preferred_element_type=jnp.float32
+                            ) * (1.0 / math.sqrt(d))
+        logits = logits + jnp.where(mask[:, None, None, :].astype(bool),
+                                    0.0, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        keep = jax.random.bernoulli(key, 1.0 - p, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - p), jnp.zeros((), q.dtype))
+        return jnp.einsum("bhst,bhtd->bhsd", probs, v)
+
+    rng = jax.random.PRNGKey(0)
+    kq, kk, kv, kd = jax.random.split(rng, 4)
+    b, h, s, d = 2, 3, 16, 8
+    q = jax.random.normal(kq, (b, h, s, d), jnp.float32)
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+    mask = jnp.ones((b, s), jnp.int32).at[:, -3:].set(0)
+    p = 0.2
+
+    out_r = reference(q, k, v, mask, kd, p)
+    for fn in (_xla_probs_dropout_attention,
+               _xla_probs_dropout_attention_remat):
+        out = fn(q, k, v, mask, kd, p)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                                   rtol=1e-5, atol=1e-6)
+        gc = jax.grad(lambda q, k, v: (fn(q, k, v, mask, kd, p) ** 2)
+                      .sum(), argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda q, k, v: (reference(q, k, v, mask, kd, p)
+                                       ** 2).sum(),
+                      argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gc, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=1e-5)

@@ -321,3 +321,27 @@ def test_clip_rn50_conversion_parity(quirk):
         # clean fold deviates from the reference's byte reinterpretation
         # by design (documented in CLIPVisionConfig.ref_fold_quirk)
         assert np.isfinite(got_pool2).all()
+
+
+def test_torchvision_resnet_export_roundtrip():
+    """export_torchvision_resnet is the exact inverse of
+    convert_torchvision_resnet (params AND batch stats), for both block
+    families."""
+    import jax
+    import jax.numpy as jnp
+    from multimodal_sequencing_tpu.models.resnet import (
+        ResNetBackbone, convert_torchvision_resnet,
+        export_torchvision_resnet)
+
+    for name in ("resnet18", "resnet50"):
+        m = ResNetBackbone(name)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        sd = export_torchvision_resnet(v["params"], v["batch_stats"], name)
+        p2, s2 = convert_torchvision_resnet(sd, name)
+        flat = jax.tree_util.tree_flatten_with_path
+        for orig, rt in ((v["params"], p2), (dict(v["batch_stats"]), s2)):
+            paths_o, leaves_o = zip(*flat(orig)[0])
+            paths_r, leaves_r = zip(*flat(rt)[0])
+            assert paths_o == paths_r
+            for a, b in zip(leaves_o, leaves_r):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -366,3 +366,94 @@ def test_quality_berson(ordered_wikihow_dir, tmp_path):
                 extra=["--wrapper_model_type", "berson",
                        "--beam_size", "4"])
     _assert_quality(res, out)
+
+
+def _pretrain_brightness_tower(steps=150, batch=32, seed=0):
+    """Warm-start a resnet18 tower on the fixture's brightness-rank
+    distribution (base 30+45*rank +-10 noise, 32px, ImageNet-normalized
+    exactly like the CLI image pipeline) and return a torchvision-layout
+    state dict. No zoo checkpoint ships in this environment, so the
+    warm start the verdict asked for comes from this in-test proxy
+    pretraining (~acc 1.0 within ~50 steps; see CHANGELOG round 5)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as nn
+    from multimodal_sequencing_tpu.models.resnet import (
+        ResNetBackbone, export_torchvision_resnet)
+
+    class Clf(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            f = ResNetBackbone("resnet18", name="tower")(
+                x, deterministic=False)
+            return nn.Dense(5, name="head")(f)
+
+    rng = np.random.RandomState(seed)
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def make_batch(n):
+        ranks = rng.randint(0, 5, n)
+        imgs = np.clip(30 + 45 * ranks[:, None, None, None]
+                       + rng.randint(-10, 11, (n, 32, 32, 3)),
+                       0, 255).astype(np.float32)
+        return (jnp.asarray((imgs / 255.0 - mean) / std),
+                jnp.asarray(ranks))
+
+    model = Clf()
+    x0, _ = make_batch(4)
+    variables = model.init(jax.random.PRNGKey(seed), x0)
+    tx = optax.adam(1e-3)
+    opt = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, bstats, opt, x, y):
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": bstats}, x,
+                mutable=["batch_stats"])
+            l = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+            return l, (upd["batch_stats"], logits)
+        (l, (bs, logits)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        u, opt = tx.update(g, opt, params)
+        acc = (logits.argmax(-1) == y).mean()
+        return optax.apply_updates(params, u), bs, opt, l, acc
+
+    params, bstats = variables["params"], variables["batch_stats"]
+    acc = 0.0
+    for _ in range(steps):
+        x, y = make_batch(batch)
+        params, bstats, opt, loss, acc = step(params, bstats, opt, x, y)
+    assert float(acc) > 0.9, f"tower pretrain failed to learn: acc={acc}"
+    return export_torchvision_resnet(
+        jax.device_get(params)["tower"],
+        jax.device_get(bstats)["tower"], "resnet18")
+
+
+def test_quality_visualbert_pixels_warmstart(visual_wikihow_dir, tmp_path):
+    """VisualBERT PIXELS-path end-metric gate (verdict r4 item 5): the
+    rank signal rides ONLY the image brightness (no maskrcnn sidecars),
+    through a resnet18 tower warm-started via --vision_model_checkpoint
+    (in-test proxy pretraining + export_torchvision_resnet -> the real
+    torchvision-checkpoint loading path). Covers image loading ->
+    device preprocess -> tower -> pooled visual token -> joint
+    transformer -> decode; a regression that breaks the pixels feature
+    flow drops this to chance."""
+    import torch
+    sd = _pretrain_brightness_tower()
+    ckpt_path = str(tmp_path / "tower_warm.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in sd.items()}, ckpt_path)
+
+    out = str(tmp_path)
+    mm = _MM_FLAGS + ["--multimodal_model_type", "visualbert",
+                      "--vision_model", "resnet18",
+                      "--vision_model_checkpoint", ckpt_path]
+    ckpt = _train(visual_wikihow_dir, out, "wikihow_pairwise", 400,
+                  extra=["--order_criteria", "loose"] + mm)
+    res = _eval(visual_wikihow_dir, out, "topological",
+                ["--model_name_or_path_1", ckpt], extra=mm)
+    _assert_quality(res, out)
