@@ -1,11 +1,17 @@
 """End-to-end CLI tests: train -> checkpoint -> eval on the synthetic
-fixture with the tiny model size."""
+fixture with the tiny model size.
+
+Marked `e2e`: each test runs a real training/eval loop, so the file is
+excluded from the plain `pytest` run (see pytest.ini tiers) — opt in
+with `pytest -m e2e`."""
 
 import json
 import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.e2e
 
 from multimodal_sequencing_tpu.train.cli import (
     build_parser, main_train, main_eval, main_pretrain, build_config)

@@ -87,6 +87,7 @@ def test_generate_no_repeated_bigram():
             assert len(bigrams) == len(set(bigrams)), seq
 
 
+@pytest.mark.e2e
 def test_teacher_forced_loss_learns_identity_order(wikihow_dir, tmp_path):
     # end to end through the CLI: train the encoder-decoder on the sort
     # task, then eval with sort_method pure_decode (faithful generate)
